@@ -1,0 +1,158 @@
+"""Audio I/O without librosa/soundfile.
+
+The reference loads audio with `librosa.load(..., res_type='kaiser_fast')`
+(reference: inference.py:136-138, lib/spec_utils.py:139-142) and writes
+16-bit PCM WAV via `soundfile.write` (inference.py:173,178). Neither
+library exists in this environment, so this module implements:
+
+  * WAV decode (PCM 8/16/24/32, float32/float64) via scipy.io.wavfile
+    plus a manual 24-bit path.
+  * Other container formats (.mp3/.m4a/.mp4/.flac) through an optional
+    `ffmpeg` subprocess — gated, with a clear error when unavailable.
+  * Polyphase resampling (scipy.signal.resample_poly, Kaiser window) —
+    same family of resampler as librosa's kaiser_fast.
+  * WAV encode as 16-bit PCM by default (soundfile's WAV default),
+    optionally float32.
+
+API shape follows librosa: waves are float32, channel-first (C, L).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+__all__ = ["load", "read_wav", "write_wav", "resample", "have_ffmpeg"]
+
+_FFMPEG = shutil.which("ffmpeg")
+
+
+def have_ffmpeg() -> bool:
+    return _FFMPEG is not None
+
+
+def _pcm24_to_float32(raw: bytes, n_channels: int) -> np.ndarray:
+    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+    x = (
+        b[:, 0].astype(np.int32)
+        | (b[:, 1].astype(np.int32) << 8)
+        | (b[:, 2].astype(np.int32) << 16)
+    )
+    x = (x ^ 0x800000) - 0x800000  # sign-extend 24 bit
+    x = x.astype(np.float32) / 8388608.0
+    return x.reshape(-1, n_channels)
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> ((C, L) float32 in [-1, 1], sample_rate)."""
+    try:
+        sr, data = wavfile.read(path)
+    except ValueError:
+        # scipy can't do 24-bit; parse manually via the wave module.
+        import wave as _wave
+
+        with _wave.open(path, "rb") as f:
+            sw = f.getsampwidth()
+            if sw != 3:
+                raise
+            nch = f.getnchannels()
+            sr = f.getframerate()
+            raw = f.readframes(f.getnframes())
+        data = _pcm24_to_float32(raw, nch)
+
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+
+    if data.ndim == 1:
+        data = data[:, None]
+    return np.ascontiguousarray(data.T), int(sr)
+
+
+def write_wav(path: str, wave: np.ndarray, sr: int, subtype: str = "PCM_16"):
+    """Write a (C, L) or (L,) float wave. PCM_16 matches soundfile's WAV
+    default (what the reference produces); FLOAT writes float32."""
+    w = np.asarray(wave, np.float32)
+    if w.ndim == 1:
+        w = w[None, :]
+    data = w.T  # (L, C)
+    if subtype == "PCM_16":
+        data = np.clip(data, -1.0, 1.0 - 1.0 / 32768.0)
+        data = np.round(data * 32768.0).astype(np.int16)
+    elif subtype == "FLOAT":
+        data = data.astype(np.float32)
+    else:
+        raise ValueError(f"unsupported subtype {subtype!r}")
+    if data.shape[1] == 1:
+        data = data[:, 0]
+    wavfile.write(path, sr, data)
+
+
+def resample(wave: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase Kaiser resampling of a (..., L) wave."""
+    if orig_sr == target_sr:
+        return wave.astype(np.float32)
+    g = math.gcd(orig_sr, target_sr)
+    up, down = target_sr // g, orig_sr // g
+    out = resample_poly(wave.astype(np.float64), up, down, axis=-1)
+    return out.astype(np.float32)
+
+
+def _load_via_ffmpeg(path: str, sr: int | None) -> tuple[np.ndarray, int]:
+    if _FFMPEG is None:
+        raise RuntimeError(
+            f"cannot decode {path!r}: non-WAV input requires ffmpeg, which "
+            "is not available in this environment"
+        )
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "decoded.wav")
+        cmd = [_FFMPEG, "-v", "error", "-i", path, "-f", "wav", "-c:a",
+               "pcm_f32le"]
+        if sr is not None:
+            cmd += ["-ar", str(sr)]
+        cmd.append(out)
+        subprocess.run(cmd, check=True)
+        return read_wav(out)
+
+
+def load(
+    path: str,
+    sr: int | None = 44100,
+    mono: bool = False,
+    dtype=np.float32,
+) -> tuple[np.ndarray, int]:
+    """librosa.load-compatible entry point.
+
+    Returns ((C, L) float32 — or (L,) when mono=True — , sample_rate).
+    Resamples to `sr` when given. Non-WAV containers require ffmpeg.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        wave, file_sr = read_wav(path)
+    else:
+        wave, file_sr = _load_via_ffmpeg(path, None)
+
+    if sr is not None and file_sr != sr:
+        wave = resample(wave, file_sr, sr)
+        file_sr = sr
+
+    if mono and wave.shape[0] > 1:
+        wave = wave.mean(axis=0, keepdims=True)
+    if mono:
+        wave = wave[0]
+    elif wave.shape[0] == 1:
+        # librosa returns 1-D for mono files even with mono=False
+        wave = wave[0]
+    return wave.astype(dtype), file_sr
