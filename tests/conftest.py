@@ -28,6 +28,33 @@ def rng():
     return np.random.default_rng(0)
 
 
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_lib():
+    """Import the upstream reference's torch modules as a numerics oracle.
+
+    librosa/soundfile are not installed in this environment; they are
+    only needed by the reference's audio I/O paths, so stub them out to
+    make `lib.layers` / `lib.nets` importable.
+    """
+    import types
+
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference repo not available")
+    for name in ("librosa", "librosa.effects", "soundfile"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["librosa"].effects = sys.modules["librosa.effects"]
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    from lib import layers as ref_layers  # noqa: E402
+    from lib import nets as ref_nets  # noqa: E402
+
+    return types.SimpleNamespace(layers=ref_layers, nets=ref_nets)
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "reference: test compares against the upstream reference"

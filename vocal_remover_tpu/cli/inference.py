@@ -1,0 +1,116 @@
+"""`inference.py` CLI — flag-compatible with the reference
+(reference inference.py:107-189), running the TPU pipeline.
+
+Differences by design:
+  * --pretrained_model accepts either a native `.vrt.npz` checkpoint or
+    a reference torch `.pth` (converted on the fly; needs torch).
+  * --gpu is accepted for surface compatibility; device selection is
+    JAX-platform-driven (TPU when available).
+  * --precision {highest,default} picks f32-faithful vs fast-bf16 MXU
+    math (default: highest, matching the reference's f32 numerics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+MODEL_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "models",
+)
+DEFAULT_MODEL_PATH = os.path.join(MODEL_DIR, "baseline.vrt.npz")
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument('--gpu', '-g', type=int, default=-1)
+    p.add_argument('--pretrained_model', '-P', type=str,
+                   default=DEFAULT_MODEL_PATH)
+    p.add_argument('--input', '-i', required=True)
+    p.add_argument('--sr', '-r', type=int, default=44100)
+    p.add_argument('--n_fft', '-f', type=int, default=2048)
+    p.add_argument('--hop_length', '-H', type=int, default=1024)
+    p.add_argument('--batchsize', '-B', type=int, default=4)
+    p.add_argument('--cropsize', '-c', type=int, default=256)
+    p.add_argument('--output_image', '-I', action='store_true')
+    p.add_argument('--tta', '-t', action='store_true')
+    p.add_argument('--postprocess', '-p', action='store_true')
+    p.add_argument('--output_dir', '-o', type=str, default="")
+    p.add_argument('--precision', type=str, default='highest',
+                   choices=['highest', 'default'])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from vocal_remover_tpu.models import CascadedNet, convert
+    from vocal_remover_tpu.nn import config as nn_config
+    from vocal_remover_tpu.ops import stft as stft_ops
+    from vocal_remover_tpu.separate.separator import Separator
+    from vocal_remover_tpu.utils import audio, image, spec
+
+    nn_config.set_precision(args.precision)
+
+    print('loading model...', end=' ')
+    model = CascadedNet(args.n_fft, args.hop_length, 32, 128)
+    variables = convert.load_checkpoint(args.pretrained_model, model)
+    print('done')
+
+    print('loading wave source...', end=' ')
+    X, sr = audio.load(args.input, sr=args.sr, mono=False)
+    basename = os.path.splitext(os.path.basename(args.input))[0]
+    print('done')
+
+    if X.ndim == 1:
+        X = np.asarray([X, X])  # mono to stereo
+
+    print('stft of wave source...', end=' ')
+    X_spec = stft_ops.stft_np(X, args.n_fft, args.hop_length)
+    print('done')
+
+    sp = Separator(
+        model=model,
+        variables=variables,
+        batchsize=args.batchsize,
+        cropsize=args.cropsize,
+        postprocess=args.postprocess,
+    )
+
+    if args.tta:
+        y_spec, v_spec = sp.separate_tta(X_spec)
+    else:
+        y_spec, v_spec = sp.separate(X_spec)
+
+    print('validating output directory...', end=' ')
+    output_dir = args.output_dir
+    if output_dir != "":
+        output_dir = output_dir.rstrip('/') + '/'
+        os.makedirs(output_dir, exist_ok=True)
+    print('done')
+
+    print('inverse stft of instruments...', end=' ')
+    wave = stft_ops.istft_np(y_spec, args.n_fft, args.hop_length)
+    print('done')
+    audio.write_wav(
+        '{}{}_Instruments.wav'.format(output_dir, basename), wave, sr
+    )
+
+    print('inverse stft of vocals...', end=' ')
+    wave = stft_ops.istft_np(v_spec, args.n_fft, args.hop_length)
+    print('done')
+    audio.write_wav('{}{}_Vocals.wav'.format(output_dir, basename), wave, sr)
+
+    if args.output_image:
+        img = spec.spectrogram_to_image(y_spec)
+        image.imwrite('{}{}_Instruments.jpg'.format(output_dir, basename), img)
+        img = spec.spectrogram_to_image(v_spec)
+        image.imwrite('{}{}_Vocals.jpg'.format(output_dir, basename), img)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,52 @@
+"""Global numerics configuration for the NN stack.
+
+`precision` controls the MXU multiply precision of convs/matmuls:
+  * "highest"  — full f32 (needed for parity tests vs the torch oracle
+                 and for bit-faithful separation with converted
+                 checkpoints).
+  * "default"  — lets XLA use bf16 multiplies on the MXU (fastest).
+
+`compute_dtype` optionally casts activations (bf16 inference mode).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+
+_precision = "highest"
+_compute_dtype = jnp.float32
+
+
+def set_precision(p: str):
+    global _precision
+    assert p in ("highest", "default", "bfloat16")
+    _precision = p
+
+
+def get_precision():
+    if _precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def set_compute_dtype(dt):
+    global _compute_dtype
+    _compute_dtype = dt
+
+
+def get_compute_dtype():
+    return _compute_dtype
+
+
+@contextlib.contextmanager
+def precision(p: str):
+    global _precision
+    old = _precision
+    set_precision(p)
+    try:
+        yield
+    finally:
+        _precision = old

@@ -1,0 +1,84 @@
+"""Stateless NN primitives (NHWC, TPU-friendly layouts)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vocal_remover_tpu.nn import config
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def conv2d(x, w, stride=1, padding=1, dilation=1):
+    """NHWC conv with HWIO kernel (torch Conv2d semantics, bias-free)."""
+    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    if isinstance(padding, int):
+        p = [(padding, padding)] * 2
+    else:  # (pad_h, pad_w) pair, e.g. ASPP's anisotropic (freq, time) pads
+        p = [(padding[0], padding[0]), (padding[1], padding[1])]
+    d = (dilation, dilation) if isinstance(dilation, int) else tuple(dilation)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=s,
+        padding=p,
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=config.get_precision(),
+    )
+
+
+def batch_norm(x, bn, *, train: bool, axes=None):
+    """BatchNorm with torch semantics.
+
+    Args:
+      x: activations; normalized over all axes except the last (channel).
+      bn: dict with 'scale', 'bias', 'mean', 'var'.
+      train: batch statistics (biased var for normalization, unbiased for
+        the running update, momentum 0.1) vs running statistics.
+
+    Returns:
+      (y, new_bn)
+    """
+    if axes is None:
+        axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x, axes)
+        var = jnp.var(x, axes)
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
+        new_bn = dict(
+            bn,
+            mean=(1 - BN_MOMENTUM) * bn["mean"] + BN_MOMENTUM * mean,
+            var=(1 - BN_MOMENTUM) * bn["var"] + BN_MOMENTUM * unbiased,
+        )
+    else:
+        mean, var = bn["mean"], bn["var"]
+        new_bn = bn
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x - mean) * (inv * bn["scale"]) + bn["bias"]
+    return y, new_bn
+
+
+def dropout2d(x, rate, rng):
+    """Channel dropout (torch nn.Dropout2d): zeroes whole NHWC channels."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x, negative_slope=0.01):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+ACTIVATIONS = {"relu": relu, "leaky_relu": leaky_relu, "sigmoid": jax.nn.sigmoid}
