@@ -1,0 +1,245 @@
+"""`train.py` CLI — flag-compatible with the reference
+(reference train.py:137-294), running jitted TPU training.
+
+TPU-native extensions beyond the reference surface:
+  --data_parallel N   shard the batch over an N-device mesh (0 = all
+                      local devices); gradients psum over ICI
+  --resume PATH       resume a full training state (params + optimizer +
+                      scheduler + epoch; the reference can only
+                      warm-start weights)
+  --precision         f32-faithful vs fast MXU math
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+from datetime import datetime
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument('--gpu', '-g', type=int, default=-1)
+    p.add_argument('--seed', '-s', type=int, default=2019)
+    p.add_argument('--sr', '-r', type=int, default=44100)
+    p.add_argument('--hop_length', '-H', type=int, default=1024)
+    p.add_argument('--n_fft', '-f', type=int, default=2048)
+    p.add_argument('--dataset', '-d', required=True)
+    p.add_argument('--split_mode', '-S', type=str, default='random',
+                   choices=['random', 'subdirs'])
+    p.add_argument('--learning_rate', '-l', type=float, default=0.001)
+    p.add_argument('--lr_min', type=float, default=0.0001)
+    p.add_argument('--lr_decay_factor', type=float, default=0.9)
+    p.add_argument('--lr_decay_patience', type=int, default=6)
+    p.add_argument('--batchsize', '-B', type=int, default=4)
+    p.add_argument('--accumulation_steps', '-A', type=int, default=1)
+    p.add_argument('--cropsize', '-C', type=int, default=256)
+    p.add_argument('--patches', '-p', type=int, default=16)
+    p.add_argument('--val_rate', '-v', type=float, default=0.2)
+    p.add_argument('--val_filelist', '-V', type=str, default=None)
+    p.add_argument('--val_batchsize', '-b', type=int, default=4)
+    p.add_argument('--val_cropsize', '-c', type=int, default=256)
+    p.add_argument('--num_workers', '-w', type=int, default=4)
+    p.add_argument('--epoch', '-E', type=int, default=200)
+    p.add_argument('--reduction_rate', '-R', type=float, default=0.0)
+    p.add_argument('--reduction_level', '-L', type=float, default=0.2)
+    p.add_argument('--mixup_rate', '-M', type=float, default=0.0)
+    p.add_argument('--mixup_alpha', '-a', type=float, default=1.0)
+    p.add_argument('--pretrained_model', '-P', type=str, default=None)
+    p.add_argument('--debug', action='store_true')
+    # TPU-native extensions
+    p.add_argument('--data_parallel', type=int, default=1,
+                   help='devices in the data-parallel mesh (0 = all)')
+    p.add_argument('--resume', type=str, default=None,
+                   help='full train-state checkpoint to resume from')
+    p.add_argument('--precision', type=str, default='highest',
+                   choices=['highest', 'default'])
+    p.add_argument('--output_dir', type=str, default='models')
+    return p
+
+
+def reduction_weight_ramp(n_fft: int, sr: int, reduction_level: float):
+    """Frequency ramp for the vocal-reduction augmentation (reference
+    train.py:197-205): 0->1 below 200 Hz, 1->0 up to 22050 Hz, 0 above,
+    scaled by reduction_level. Shape (bins, 1)."""
+    bins = n_fft // 2 + 1
+    freq_to_bin = 2 * bins / sr
+    unstable_bins = int(200 * freq_to_bin)
+    stable_bins = int(22050 * freq_to_bin)
+    arr = np.concatenate([
+        np.linspace(0, 1, unstable_bins, dtype=np.float32)[:, None],
+        np.linspace(1, 0, stable_bins - unstable_bins,
+                    dtype=np.float32)[:, None],
+        np.zeros((bins - stable_bins, 1), dtype=np.float32),
+    ])
+    return arr * reduction_level
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    timestamp = datetime.now().strftime('%Y%m%d%H%M%S')
+
+    from vocal_remover_tpu.data import cache, dataset, pairing
+    from vocal_remover_tpu.data.loader import Loader
+    from vocal_remover_tpu.models import CascadedNet, convert
+    from vocal_remover_tpu.nn import config as nn_config
+    from vocal_remover_tpu.parallel import mesh as mesh_lib
+    from vocal_remover_tpu.train import checkpoint
+    from vocal_remover_tpu.train.logging import setup_logger
+    from vocal_remover_tpu.train.plateau import ReduceLROnPlateau
+    from vocal_remover_tpu.train.step import Trainer
+    import jax
+
+    logger = setup_logger(__name__, f'train_{timestamp}.log')
+    logger.debug(vars(args))
+    nn_config.set_precision(args.precision)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    val_filelist = []
+    if args.val_filelist is not None:
+        with open(args.val_filelist, encoding='utf8') as f:
+            val_filelist = json.load(f)
+
+    train_filelist, val_filelist = pairing.train_val_split(
+        dataset_dir=args.dataset,
+        split_mode=args.split_mode,
+        val_rate=args.val_rate,
+        val_filelist=val_filelist,
+    )
+
+    if args.debug:
+        logger.info('### DEBUG MODE')
+        train_filelist = train_filelist[:1]
+        val_filelist = val_filelist[:1]
+    elif args.val_filelist is None and args.split_mode == 'random':
+        with open(f'val_{timestamp}.json', 'w', encoding='utf8') as f:
+            json.dump(val_filelist, f, ensure_ascii=False)
+
+    for i, (X_fname, y_fname) in enumerate(val_filelist):
+        logger.info(
+            '{} {} {}'.format(
+                i + 1, os.path.basename(X_fname), os.path.basename(y_fname)
+            )
+        )
+
+    reduction_weight = reduction_weight_ramp(
+        args.n_fft, args.sr, args.reduction_level
+    )
+
+    model = CascadedNet(args.n_fft, args.hop_length, 32, 128)
+    if args.pretrained_model is not None:
+        variables = convert.load_checkpoint(args.pretrained_model, model)
+    else:
+        variables = model.init(jax.random.PRNGKey(args.seed))
+
+    mesh = None
+    if args.data_parallel != 1:
+        n = args.data_parallel if args.data_parallel > 0 else None
+        mesh = mesh_lib.make_mesh(n_data=n)
+        logger.info(f'data-parallel mesh: {mesh.shape}')
+
+    trainer = Trainer(
+        model,
+        variables,
+        learning_rate=args.learning_rate,
+        accumulation_steps=args.accumulation_steps,
+        mesh=mesh,
+        seed=args.seed,
+    )
+    scheduler = ReduceLROnPlateau(
+        lr=args.learning_rate,
+        factor=args.lr_decay_factor,
+        patience=args.lr_decay_patience,
+        threshold=1e-6,
+        min_lr=args.lr_min,
+    )
+
+    training_set = cache.make_training_set(
+        filelist=train_filelist,
+        sr=args.sr,
+        hop_length=args.hop_length,
+        n_fft=args.n_fft,
+    )
+    train_dataset = dataset.TrainingSet(
+        training_set * args.patches,
+        cropsize=args.cropsize,
+        reduction_rate=args.reduction_rate,
+        reduction_weight=reduction_weight,
+        mixup_rate=args.mixup_rate,
+        mixup_alpha=args.mixup_alpha,
+        seed=args.seed,
+    )
+    train_loader = Loader(
+        train_dataset,
+        batchsize=args.batchsize,
+        shuffle=True,
+        num_workers=args.num_workers,
+        seed=args.seed,
+    )
+
+    patch_list = dataset.make_validation_set(
+        filelist=val_filelist,
+        cropsize=args.val_cropsize,
+        sr=args.sr,
+        hop_length=args.hop_length,
+        n_fft=args.n_fft,
+        offset=model.offset,
+    )
+    val_dataset = dataset.ValidationSet(patch_list=patch_list)
+    val_loader = Loader(
+        val_dataset,
+        batchsize=args.val_batchsize,
+        shuffle=False,
+        num_workers=args.num_workers,
+    )
+
+    start_epoch = 0
+    best_loss = np.inf
+    if args.resume is not None:
+        start_epoch, best_loss = checkpoint.load_train_state(
+            args.resume, trainer, scheduler
+        )
+        start_epoch += 1
+        logger.info(f'resumed from {args.resume} at epoch {start_epoch}')
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    log = []
+    for epoch in range(start_epoch, args.epoch):
+        logger.info('# epoch {}'.format(epoch))
+        train_loss = trainer.train_epoch(train_loader)
+        val_loss = trainer.validate_epoch(val_loader)
+
+        logger.info(
+            '  * training loss = {:.6f}, validation loss = {:.6f}'
+            .format(train_loss, val_loss)
+        )
+
+        new_lr = scheduler.step(val_loss)
+        trainer.set_learning_rate(new_lr)
+
+        if val_loss < best_loss:
+            best_loss = val_loss
+            logger.info('  * best validation loss')
+            model_path = os.path.join(
+                args.output_dir, f'model_iter{epoch}.vrt.npz'
+            )
+            checkpoint.save_model(model_path, model, trainer)
+
+        checkpoint.save_train_state(
+            os.path.join(args.output_dir, 'train_state.msgpack'),
+            trainer, scheduler, epoch, best_loss,
+        )
+
+        log.append([train_loss, val_loss])
+        with open(f'loss_{timestamp}.json', 'w', encoding='utf8') as f:
+            json.dump(log, f, ensure_ascii=False)
+
+
+if __name__ == '__main__':
+    main()
