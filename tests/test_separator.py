@@ -15,12 +15,14 @@ from vocal_remover_tpu.separate.separator import Separator
 
 @pytest.fixture(scope="module")
 def reference_inference(reference_lib):
-    for name in ("cv2", "tqdm"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == "tqdm":
-                mod.tqdm = lambda x, *a, **k: x
-            sys.modules[name] = mod
+    if "cv2" not in sys.modules:
+        cv2 = types.ModuleType("cv2")
+        cv2.IMREAD_COLOR = 1
+        sys.modules["cv2"] = cv2
+    if "tqdm" not in sys.modules:
+        mod = types.ModuleType("tqdm")
+        mod.tqdm = lambda x, *a, **k: x
+        sys.modules["tqdm"] = mod
     import inference as ref_inference  # from /root/reference
 
     return ref_inference
@@ -88,6 +90,59 @@ def test_separate_postprocess_matches_reference(reference_inference, pair):
     scale = np.abs(X_spec).max()
     np.testing.assert_allclose(our_y, ref_y, atol=5e-4 * scale)
     np.testing.assert_allclose(our_v, ref_v, atol=5e-4 * scale)
+
+
+@pytest.mark.parametrize("tta", [False, True])
+def test_separate_wave_matches_spectrogram_path(pair, tta):
+    """The fused device pipeline == host STFT -> separate -> host iSTFT."""
+    _, jmod, v = pair
+    wave = synth_song(seconds=5.0)
+    X_spec = stft_ops.stft_np(wave, 256, 128)
+    sp = Separator(jmod, v, batchsize=2, cropsize=256)
+    if tta:
+        y_spec, v_spec = sp.separate_tta(X_spec)
+    else:
+        y_spec, v_spec = sp.separate(X_spec)
+    y_ref = stft_ops.istft_np(y_spec, 256, 128, wave.shape[-1])
+    v_ref = stft_ops.istft_np(v_spec, 256, 128, wave.shape[-1])
+
+    y_wave, v_wave = sp.separate_wave(wave, tta=tta)
+    assert y_wave.shape == wave.shape
+    np.testing.assert_allclose(y_wave, y_ref, atol=2e-4)
+    np.testing.assert_allclose(v_wave, v_ref, atol=2e-4)
+
+
+def test_separate_wave_pcm16(pair):
+    """PCM16 I/O quantization == f32 path + write_wav conversion."""
+    _, jmod, v = pair
+    wave = synth_song(seconds=4.0)
+    sp = Separator(jmod, v, batchsize=2, cropsize=256)
+    y32, v32 = sp.separate_wave(wave)
+    y16, v16 = sp.separate_wave(wave, pcm16_io=True)
+    assert y16.dtype == np.int16
+
+    def q(w):
+        return np.round(
+            np.clip(w, -1, 1 - 1 / 32768.0) * 32768.0
+        ).astype(np.int16)
+
+    # allow +-1 LSB where the f32 value sits within float error of .5
+    assert np.abs(y16.astype(np.int32) - q(y32).astype(np.int32)).max() <= 1
+    assert np.abs(v16.astype(np.int32) - q(v32).astype(np.int32)).max() <= 1
+
+
+def test_separator_service(pair):
+    from vocal_remover_tpu.separate.service import SeparatorService
+
+    _, jmod, v = pair
+    sp = Separator(jmod, v, batchsize=2, cropsize=256)
+    svc = SeparatorService(sp, pcm16_io=True)
+    songs = [synth_song(seconds=4.0) for _ in range(3)]
+    outs = list(svc.map(songs))
+    assert len(outs) == 3
+    ref_y, ref_v = sp.separate_wave(songs[0], pcm16_io=True)
+    np.testing.assert_array_equal(outs[0][0], ref_y)
+    np.testing.assert_array_equal(outs[1][0], ref_y)  # same song content
 
 
 def test_energy_conservation(pair):

@@ -69,10 +69,6 @@ def main(argv=None):
     if X.ndim == 1:
         X = np.asarray([X, X])  # mono to stereo
 
-    print('stft of wave source...', end=' ')
-    X_spec = stft_ops.stft_np(X, args.n_fft, args.hop_length)
-    print('done')
-
     sp = Separator(
         model=model,
         variables=variables,
@@ -81,11 +77,6 @@ def main(argv=None):
         postprocess=args.postprocess,
     )
 
-    if args.tta:
-        y_spec, v_spec = sp.separate_tta(X_spec)
-    else:
-        y_spec, v_spec = sp.separate(X_spec)
-
     print('validating output directory...', end=' ')
     output_dir = args.output_dir
     if output_dir != "":
@@ -93,17 +84,37 @@ def main(argv=None):
         os.makedirs(output_dir, exist_ok=True)
     print('done')
 
+    inst_path = '{}{}_Instruments.wav'.format(output_dir, basename)
+    vocal_path = '{}{}_Vocals.wav'.format(output_dir, basename)
+
+    if not args.postprocess and not args.output_image:
+        # pure-device fast path: STFT -> model -> mask -> iSTFT in one
+        # jitted call, PCM16 exchanged with the host
+        print('separating (device pipeline)...', end=' ')
+        y_wave, v_wave = sp.separate_wave(X, tta=args.tta, pcm16_io=True)
+        print('done')
+        audio.write_wav(inst_path, y_wave.astype(np.float32) / 32768.0, sr)
+        audio.write_wav(vocal_path, v_wave.astype(np.float32) / 32768.0, sr)
+        return
+
+    print('stft of wave source...', end=' ')
+    X_spec = stft_ops.stft_np(X, args.n_fft, args.hop_length)
+    print('done')
+
+    if args.tta:
+        y_spec, v_spec = sp.separate_tta(X_spec)
+    else:
+        y_spec, v_spec = sp.separate(X_spec)
+
     print('inverse stft of instruments...', end=' ')
     wave = stft_ops.istft_np(y_spec, args.n_fft, args.hop_length)
     print('done')
-    audio.write_wav(
-        '{}{}_Instruments.wav'.format(output_dir, basename), wave, sr
-    )
+    audio.write_wav(inst_path, wave, sr)
 
     print('inverse stft of vocals...', end=' ')
     wave = stft_ops.istft_np(v_spec, args.n_fft, args.hop_length)
     print('done')
-    audio.write_wav('{}{}_Vocals.wav'.format(output_dir, basename), wave, sr)
+    audio.write_wav(vocal_path, wave, sr)
 
     if args.output_image:
         img = spec.spectrogram_to_image(y_spec)

@@ -38,33 +38,45 @@ def init_bilstm(key, input_size: int, hidden: int):
     }
 
 
-def _scan_direction(p, x, reverse: bool, unroll: int = 4):
-    """x: (T, N, In) -> (T, N, H)."""
+def bilstm(params, x, unroll: int = 8):
+    """Bidirectional LSTM: (T, N, In) -> (T, N, 2H), zero initial state.
+
+    Both directions run in ONE `lax.scan`: the backward input is
+    time-reversed and stacked on the batch axis, so each sequential step
+    does a single (2N, H) @ (H, 4H) matmul instead of two scans — halves
+    the serial critical path, the TPU's weak spot for recurrence.
+    """
     prec = config.get_precision()
-    hidden = p["w_hh"].shape[0]
-    xg = (
-        jnp.einsum("tni,ih->tnh", x, p["w_ih"], precision=prec)
-        + p["b_ih"]
-        + p["b_hh"]
-    )
+    pf, pb = params["fwd"], params["bwd"]
+    hidden = pf["w_hh"].shape[0]
     n = x.shape[1]
-    h0 = jnp.zeros((n, hidden), x.dtype)
-    c0 = jnp.zeros((n, hidden), x.dtype)
+
+    # per-direction input projections for all timesteps (one MXU matmul)
+    xg_f = (
+        jnp.einsum("tni,ih->tnh", x, pf["w_ih"], precision=prec)
+        + pf["b_ih"] + pf["b_hh"]
+    )
+    xg_b = (
+        jnp.einsum("tni,ih->tnh", x[::-1], pb["w_ih"], precision=prec)
+        + pb["b_ih"] + pb["b_hh"]
+    )
+    xg = jnp.concatenate([xg_f, xg_b], axis=1)  # (T, 2N, 4H)
+    w_hh = jnp.stack([pf["w_hh"], pb["w_hh"]])  # (2, H, 4H)
+
+    h0 = jnp.zeros((2 * n, hidden), x.dtype)
+    c0 = jnp.zeros((2 * n, hidden), x.dtype)
 
     def step(carry, xg_t):
         h, c = carry
-        gates = xg_t + jnp.matmul(h, p["w_hh"], precision=prec)
+        hh = h.reshape(2, n, hidden)
+        rec = jnp.einsum("dnh,dhg->dng", hh, w_hh, precision=prec)
+        gates = xg_t + rec.reshape(2 * n, 4 * hidden)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    _, hs = jax.lax.scan(step, (h0, c0), xg, reverse=reverse, unroll=unroll)
-    return hs
-
-
-def bilstm(params, x, unroll: int = 4):
-    """Bidirectional LSTM: (T, N, In) -> (T, N, 2H), zero initial state."""
-    fwd = _scan_direction(params["fwd"], x, reverse=False, unroll=unroll)
-    bwd = _scan_direction(params["bwd"], x, reverse=True, unroll=unroll)
+    _, hs = jax.lax.scan(step, (h0, c0), xg, unroll=unroll)  # (T, 2N, H)
+    fwd = hs[:, :n]
+    bwd = hs[::-1, n:]
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -59,9 +59,17 @@ def extract_patches(x, cropsize: int, roi_size: int, offset: int):
       [i*roi_size, i*roi_size + cropsize).
     """
     n = num_patches(x.shape[-1], roi_size, offset)
-    starts = _patch_starts(n, roi_size)
-    idx = starts[:, None] + np.arange(cropsize)[None, :]  # (n, cropsize)
-    patches = x[..., idx]  # (..., n, cropsize)
+    if cropsize == 2 * roi_size and x.shape[-1] >= (n + 1) * roi_size:
+        # default geometry (50% overlap): adjacent roi segments pair up
+        # into patches via reshape+concat — no gather on the hot path
+        segs = x[..., : (n + 1) * roi_size]
+        segs = segs.reshape(*x.shape[:-1], n + 1, roi_size)
+        patches = jnp.concatenate([segs[..., :-1, :], segs[..., 1:, :]],
+                                  axis=-1)
+    else:
+        starts = _patch_starts(n, roi_size)
+        idx = starts[:, None] + np.arange(cropsize)[None, :]  # (n, cropsize)
+        patches = x[..., idx]  # (..., n, cropsize)
     return jnp.moveaxis(patches, -2, 0)
 
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vocal_remover_tpu.ops.stft import istft, stft
 from vocal_remover_tpu.ops.windowing import (
     extract_patches,
     make_padding,
@@ -44,7 +45,9 @@ class Separator:
     def __init__(self, model, variables, batchsize=4, cropsize=256,
                  postprocess=False, progress=None):
         self.model = model
-        self.variables = variables
+        # pin weights on device once; jitted calls take them as arguments
+        # (never as baked-in constants)
+        self.variables = jax.device_put(variables)
         self.offset = model.offset
         self.batchsize = max(1, batchsize)
         self.cropsize = cropsize
@@ -59,12 +62,12 @@ class Separator:
     def _forward_fn(self, padded_frames: int, roi_size: int):
         crop, off, bs = self.cropsize, self.offset, self.batchsize
         n = num_patches(padded_frames, roi_size, off)
-        model, variables = self.model, self.variables
+        model = self.model
 
         n_chunks = n // bs
 
         @jax.jit
-        def run(re, im, inv_scale):
+        def run(re, im, inv_scale, variables):
             mag = jnp.sqrt(re * re + im * im) * inv_scale  # (C, F, Tpad)
             patches = extract_patches(mag, crop, roi_size, off)
             x = jnp.transpose(patches, (0, 2, 3, 1))  # (P, F, crop, C)
@@ -87,7 +90,7 @@ class Separator:
         run = self._forward_fn(X_spec_pad.shape[2], roi_size)
         re = np.ascontiguousarray(X_spec_pad.real, np.float32)
         im = np.ascontiguousarray(X_spec_pad.imag, np.float32)
-        mask = run(re, im, np.float32(inv_scale))
+        mask = run(re, im, np.float32(inv_scale), self.variables)
         return np.asarray(mask)
 
     # ------------------------------------------------------------------
@@ -101,9 +104,9 @@ class Separator:
         )
         pad_l += extra_shift
         pad_r += extra_shift
-        # round patch count up to a bucket (multiple of 4*batchsize)
+        # round patch count up to a whole number of chunks
         n = num_patches(pad_l + n_frame + pad_r, roi_size, self.offset)
-        gran = 4 * self.batchsize
+        gran = self.batchsize
         n_bucket = -(-n // gran) * gran
         pad_r += (n_bucket - n) * roi_size
         X_pad = np.pad(X_spec, ((0, 0), (0, 0), (pad_l, pad_r)))
@@ -137,6 +140,119 @@ class Separator:
         mask = (mask + mask_tta[:, :, :n_frame]) * 0.5
 
         return self._postprocess(X_spec, mask)
+
+    # ------------------------------------------------------------------
+    # fully on-device wave -> wave path (the TPU-native product path)
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _wave_fn(self, n_samples: int, tta: bool, pcm16_io: bool):
+        """Build the jitted whole-song pipeline for a given length:
+        device STFT -> patched model forward (x2 shifted for TTA) ->
+        mask -> complex reconstruction -> device iSTFT. One device call
+        per song; nothing but the wave crosses the host boundary.
+
+        pcm16_io: exchange int16 PCM with the host (4x less interconnect
+        traffic — the host link is the bottleneck for whole songs);
+        dequant/quant run on device and reproduce the PCM_16 wav
+        conversion exactly, so outputs match the f32 path + write_wav.
+        """
+        model = self.model
+        n_fft, hop = model.n_fft, model.hop_length
+        crop, off, bs = self.cropsize, self.offset, self.batchsize
+
+        from vocal_remover_tpu.ops.stft import num_frames
+
+        n_frame = num_frames(n_samples, n_fft, hop)
+        pad_l0, pad_r0, roi = make_padding(n_frame, crop, off)
+        shift = roi // 2
+
+        def bucketed(pad_l, pad_r):
+            """Round the patch count up to whole chunks of `bs`."""
+            n = num_patches(pad_l + n_frame + pad_r, roi, off)
+            n_bucket = -(-n // bs) * bs
+            return pad_l, pad_r + (n_bucket - n) * roi
+
+        pad_l, pad_r = bucketed(pad_l0, pad_r0)
+        pad2_l, pad2_r = bucketed(pad_l0 + shift, pad_r0 + shift)
+
+        def masks_for(re_pad, im_pad, inv_scale, variables):
+            mag = jnp.sqrt(re_pad * re_pad + im_pad * im_pad) * inv_scale
+            patches = extract_patches(mag, crop, roi, off)
+            x = jnp.transpose(patches, (0, 2, 3, 1))
+            n_p = x.shape[0]  # whole multiple of bs by construction
+            out = jax.lax.map(
+                lambda xb: model(variables, xb),
+                x.reshape(n_p // bs, bs, *x.shape[1:]),
+            )
+            out = out.reshape(n_p, *out.shape[2:])
+            out = jnp.transpose(out, (0, 3, 1, 2))
+            return stitch_masks(out, off)
+
+        def lexmax_abs(re, im):
+            """|numpy-lexicographic max| of a complex array given as
+            re/im — reproduces `X_spec_pad.max()` (inference.py:87)."""
+            r_star = jnp.max(re)
+            i_star = jnp.max(jnp.where(re == r_star, im, -jnp.inf))
+            return jnp.sqrt(r_star * r_star + i_star * i_star)
+
+        @jax.jit
+        def run(wave, variables):
+            if pcm16_io:
+                wave = wave.astype(jnp.float32) / 32768.0
+            re, im = stft(wave, n_fft, hop)  # (2, F, T)
+            pad_cfg = ((0, 0), (0, 0), (pad_l, pad_r))
+            re_pad = jnp.pad(re, pad_cfg)
+            im_pad = jnp.pad(im, pad_cfg)
+
+            if tta:
+                inv1 = 1.0 / lexmax_abs(re_pad, im_pad)
+                m1 = masks_for(re_pad, im_pad, inv1, variables)[..., :n_frame]
+                pad2 = ((0, 0), (0, 0), (pad2_l, pad2_r))
+                re2 = jnp.pad(re, pad2)
+                im2 = jnp.pad(im, pad2)
+                inv2 = 1.0 / lexmax_abs(re2, im2)
+                m2 = masks_for(re2, im2, inv2, variables)[..., shift:]
+                mask = (m1 + m2[..., :n_frame]) * 0.5
+            else:
+                inv = 1.0 / jnp.max(jnp.sqrt(re * re + im * im))
+                mask = masks_for(re_pad, im_pad, inv, variables)[..., :n_frame]
+
+            y_wave = istft(mask * re, mask * im, n_fft, hop, n_samples)
+            v_wave = istft((1 - mask) * re, (1 - mask) * im, n_fft, hop,
+                           n_samples)
+            if pcm16_io:
+                # identical to utils.audio.write_wav's PCM_16 conversion
+                def to_i16(w):
+                    w = jnp.clip(w, -1.0, 1.0 - 1.0 / 32768.0)
+                    return jnp.round(w * 32768.0).astype(jnp.int16)
+
+                return to_i16(y_wave), to_i16(v_wave)
+            return y_wave, v_wave
+
+        return run
+
+    def separate_wave(self, wave: np.ndarray, tta: bool = False,
+                      pcm16_io: bool = False):
+        """(2, n_samples) wave -> (instruments_wave, vocals_wave).
+
+        Pure-device fast path; requires postprocess=False (the
+        merge_artifacts refinement is data-dependent host logic; use
+        `separate` for that path). With pcm16_io=True, takes/returns
+        int16 PCM arrays (input float is quantized host-side first).
+        """
+        if self.postprocess:
+            raise ValueError(
+                "separate_wave is the pure-device path; postprocess "
+                "requires the spectrogram API (separate/separate_tta)"
+            )
+        run = self._wave_fn(wave.shape[-1], tta, pcm16_io)
+        if pcm16_io and wave.dtype != np.int16:
+            wave = np.clip(wave, -1.0, 1.0 - 1.0 / 32768.0)
+            wave = np.round(wave * 32768.0).astype(np.int16)
+        dtype = np.int16 if pcm16_io else np.float32
+        y, v = run(np.ascontiguousarray(wave, dtype), self.variables)
+        return np.asarray(y), np.asarray(v)
 
     def _postprocess(self, X_spec, mask):
         if self.postprocess:
