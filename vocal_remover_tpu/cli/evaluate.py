@@ -45,8 +45,9 @@ def main(argv=None):
     from vocal_remover_tpu.utils import audio
     from vocal_remover_tpu.utils.spec import align_wave_head_and_tail
 
-    model = CascadedNet(args.n_fft, args.hop_length, 32, 128)
-    variables = convert.load_checkpoint(args.pretrained_model, model)
+    model, variables = convert.load_model(
+        args.pretrained_model, args.n_fft, args.hop_length, 32, 128
+    )
     sp = Separator(model, variables, args.batchsize, args.cropsize,
                    args.postprocess)
 

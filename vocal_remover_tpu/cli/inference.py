@@ -57,8 +57,9 @@ def main(argv=None):
     nn_config.set_precision(args.precision)
 
     print('loading model...', end=' ')
-    model = CascadedNet(args.n_fft, args.hop_length, 32, 128)
-    variables = convert.load_checkpoint(args.pretrained_model, model)
+    model, variables = convert.load_model(
+        args.pretrained_model, args.n_fft, args.hop_length, 32, 128
+    )
     print('done')
 
     print('loading wave source...', end=' ')

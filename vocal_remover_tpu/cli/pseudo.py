@@ -44,8 +44,9 @@ def main(argv=None):
     from vocal_remover_tpu.utils.spec import align_wave_head_and_tail
 
     print('loading model...', end=' ')
-    model = CascadedNet(args.n_fft, args.hop_length)
-    variables = convert.load_checkpoint(args.pretrained_model, model)
+    model, variables = convert.load_model(
+        args.pretrained_model, args.n_fft, args.hop_length
+    )
     print('done')
 
     os.makedirs(args.output_dir, exist_ok=True)

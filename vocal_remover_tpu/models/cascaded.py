@@ -228,7 +228,9 @@ class CascadedNet:
         }
         for name in ("out", "aux_out"):
             w = np.asarray(sd[name + ".weight"])  # (O, I, 1, 1)
-            v[name] = {"conv": jnp.asarray(w.transpose(2, 3, 1, 0))}
+            v[name] = {"conv": jnp.asarray(
+                np.array(w.transpose(2, 3, 1, 0), copy=True)
+            )}
         return v
 
     def to_torch(self, v):

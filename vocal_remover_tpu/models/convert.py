@@ -94,6 +94,31 @@ def load_checkpoint(path: str, model):
     return model.from_torch(_torch_state_np(path))
 
 
+def load_model(path: str, n_fft: int, hop_length: int, nout: int = 32,
+               nout_lstm: int = 128):
+    """Build a CascadedNet + variables from a checkpoint.
+
+    Native checkpoints carry their model config and win over the CLI
+    defaults (the reference hard-codes 32/128 at inference.py:130 and
+    can only load matching checkpoints); torch `.pth` checkpoints use
+    the provided arguments.
+    """
+    from vocal_remover_tpu.models.cascaded import CascadedNet
+
+    if path.endswith(".npz"):
+        variables, config = load_native(path)
+        model = CascadedNet(
+            config.get("n_fft", n_fft),
+            config.get("hop_length", hop_length),
+            config.get("nout") or nout,
+            config.get("nout_lstm") or nout_lstm,
+            bool(config.get("is_complex", False)),
+        )
+        return model, jax.tree_util.tree_map(np.asarray, variables)
+    model = CascadedNet(n_fft, hop_length, nout, nout_lstm)
+    return model, model.from_torch(_torch_state_np(path))
+
+
 def export_torch(path: str, model, variables):
     """Write variables as a reference-compatible torch state_dict."""
     import torch

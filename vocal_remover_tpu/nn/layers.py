@@ -56,12 +56,19 @@ def _bn_init(nout):
     }
 
 
+def _own(x):
+    """Copy into owned memory: state-dict arrays are often views of
+    torch tensor storage, and zero-copy jnp.asarray would alias buffers
+    that torch later mutates in place (running stats)."""
+    return jnp.asarray(np.array(x, copy=True))
+
+
 def _bn_from_torch(sd, prefix):
     return {
-        "scale": jnp.asarray(sd[prefix + "weight"]),
-        "bias": jnp.asarray(sd[prefix + "bias"]),
-        "mean": jnp.asarray(sd[prefix + "running_mean"]),
-        "var": jnp.asarray(sd[prefix + "running_var"]),
+        "scale": _own(sd[prefix + "weight"]),
+        "bias": _own(sd[prefix + "bias"]),
+        "mean": _own(sd[prefix + "running_mean"]),
+        "var": _own(sd[prefix + "running_var"]),
     }
 
 
@@ -101,7 +108,7 @@ class Conv2DBNActiv:
     def from_torch(self, sd, prefix):
         w = np.asarray(sd[prefix + "conv.0.weight"])  # (O, I, kh, kw)
         return {
-            "conv": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "conv": _own(w.transpose(2, 3, 1, 0)),
             "bn": _bn_from_torch(sd, prefix + "conv.1."),
         }
 
@@ -289,24 +296,24 @@ class LSTMModule:
 
         lstm = {
             "fwd": {
-                "w_ih": jnp.asarray(d("lstm.weight_ih_l0").T),
-                "w_hh": jnp.asarray(d("lstm.weight_hh_l0").T),
-                "b_ih": jnp.asarray(d("lstm.bias_ih_l0")),
-                "b_hh": jnp.asarray(d("lstm.bias_hh_l0")),
+                "w_ih": _own(d("lstm.weight_ih_l0").T),
+                "w_hh": _own(d("lstm.weight_hh_l0").T),
+                "b_ih": _own(d("lstm.bias_ih_l0")),
+                "b_hh": _own(d("lstm.bias_hh_l0")),
             },
             "bwd": {
-                "w_ih": jnp.asarray(d("lstm.weight_ih_l0_reverse").T),
-                "w_hh": jnp.asarray(d("lstm.weight_hh_l0_reverse").T),
-                "b_ih": jnp.asarray(d("lstm.bias_ih_l0_reverse")),
-                "b_hh": jnp.asarray(d("lstm.bias_hh_l0_reverse")),
+                "w_ih": _own(d("lstm.weight_ih_l0_reverse").T),
+                "w_hh": _own(d("lstm.weight_hh_l0_reverse").T),
+                "b_ih": _own(d("lstm.bias_ih_l0_reverse")),
+                "b_hh": _own(d("lstm.bias_hh_l0_reverse")),
             },
         }
         return {
             "conv": self.conv.from_torch(sd, prefix + "conv."),
             "lstm": lstm,
             "dense": {
-                "w": jnp.asarray(d("dense.0.weight").T),
-                "b": jnp.asarray(d("dense.0.bias")),
+                "w": _own(d("dense.0.weight").T),
+                "b": _own(d("dense.0.bias")),
             },
             "dense_bn": _bn_from_torch(sd, prefix + "dense.1."),
         }

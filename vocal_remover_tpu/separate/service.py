@@ -24,11 +24,17 @@ import numpy as np
 
 class SeparatorService:
     def __init__(self, separator, pcm16_io: bool = True, tta: bool = False,
-                 depth: int = 3):
+                 depth: int = 3, vocals_residual: bool = False):
+        """vocals_residual: download only the instruments stream and
+        reconstruct vocals host-side as `mixture - instruments` (exact
+        at PCM16 resolution by iSTFT linearity: istft((1-m)X) =
+        istft(X) - istft(mX), and istft(X) == the input wave away from
+        the first/last half-window). Halves device->host traffic."""
         self.sep = separator
         self.pcm16_io = pcm16_io
         self.tta = tta
         self.depth = depth
+        self.vocals_residual = vocals_residual
 
     def _prepare(self, wave: np.ndarray) -> np.ndarray:
         if self.pcm16_io and wave.dtype != np.int16:
@@ -51,7 +57,7 @@ class SeparatorService:
                     w = self._prepare(w)
                     run = sep._wave_fn(w.shape[-1], tta, pcm16)
                     dev = jax.device_put(w)
-                    q_up.put((run, dev))
+                    q_up.put((run, dev, w))
             except BaseException as e:
                 q_up.put(e)
                 return
@@ -64,9 +70,9 @@ class SeparatorService:
                     if item is None or isinstance(item, BaseException):
                         q_out.put(item)
                         return
-                    run, dev = item
+                    run, dev, host_w = item
                     y, v = run(dev, sep.variables)  # async dispatch
-                    q_out.put((y, v))
+                    q_out.put((y, v, host_w))
             except BaseException as e:
                 q_out.put(e)
 
@@ -79,5 +85,10 @@ class SeparatorService:
                 return
             if isinstance(item, BaseException):
                 raise item
-            y, v = item
-            yield np.asarray(y), np.asarray(v)
+            y, v, host_w = item
+            y = np.asarray(y)
+            if self.vocals_residual and self.pcm16_io:
+                vv = host_w.astype(np.int32) - y.astype(np.int32)
+                yield y, np.clip(vv, -32768, 32767).astype(np.int16)
+            else:
+                yield y, np.asarray(v)
