@@ -1,0 +1,59 @@
+"""Native host-side kernels (optional accelerator).
+
+`get()` returns the compiled `_vrtnative` module or None; every caller
+has a numpy fallback. The extension is built on first use when a C
+compiler is available (vrtnative.c, ~2 s).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_mod = None
+_tried = False
+
+
+def get():
+    global _mod, _tried
+    if _tried:
+        return _mod
+    _tried = True
+    try:
+        from vocal_remover_tpu.native import build as _build
+
+        if _build.ensure_built():
+            from vocal_remover_tpu.native import _vrtnative  # type: ignore
+
+            _mod = _vrtnative
+    except Exception:
+        _mod = None
+    return _mod
+
+
+def load_crop_abs(path: str, start_row: int, n_rows: int,
+                  coef: float) -> np.ndarray | None:
+    """Fused chunked read + |z|/coef -> (2, F, n_rows) float32, or None
+    if the extension is unavailable (caller falls back to numpy)."""
+    mod = get()
+    if mod is None:
+        return None
+    data, F = mod.load_crop_abs(path, start_row, n_rows, float(coef))
+    return np.frombuffer(data, np.float32).reshape(2, F, n_rows)
+
+
+def pcm16_encode(wave: np.ndarray) -> np.ndarray | None:
+    mod = get()
+    if mod is None:
+        return None
+    w = np.ascontiguousarray(wave, np.float32)
+    out = mod.pcm16_encode(w)
+    return np.frombuffer(out, np.int16).reshape(wave.shape)
+
+
+def pcm16_decode(pcm: np.ndarray) -> np.ndarray | None:
+    mod = get()
+    if mod is None:
+        return None
+    p = np.ascontiguousarray(pcm, np.int16)
+    out = mod.pcm16_decode(p)
+    return np.frombuffer(out, np.float32).reshape(pcm.shape)

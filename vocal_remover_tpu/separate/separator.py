@@ -10,9 +10,9 @@ reference's two normalization quirks), redesigned TPU-first:
     the device once; patch extraction, the model forward over all
     patches (chunked via `lax.map` to bound activation memory), the
     offset trim, and the stitch all run inside ONE jitted call.
-  * Patch counts are rounded up to a multiple of 4*batchsize so jitted
-    shapes fall into buckets (bounded recompiles across song lengths);
-    the surplus stitched frames are dropped on the host.
+  * Patch counts are rounded up to whole chunks of `batchsize` so
+    jitted shapes fall into buckets (bounded recompiles across song
+    lengths); the surplus stitched frames are dropped on the host.
   * Spectrograms cross the host boundary as (real, imag) float pairs —
     the TPU runtime cannot transfer complex64.
 
@@ -146,7 +146,8 @@ class Separator:
     # ------------------------------------------------------------------
 
     @functools.lru_cache(maxsize=8)
-    def _wave_fn(self, n_samples: int, tta: bool, pcm16_io: bool):
+    def _wave_fn(self, n_samples: int, tta: bool, pcm16_io: bool,
+                 only_instruments: bool = False):
         """Build the jitted whole-song pipeline for a given length:
         device STFT -> patched model forward (x2 shifted for TTA) ->
         mask -> complex reconstruction -> device iSTFT. One device call
@@ -218,15 +219,18 @@ class Separator:
                 inv = 1.0 / jnp.max(jnp.sqrt(re * re + im * im))
                 mask = masks_for(re_pad, im_pad, inv, variables)[..., :n_frame]
 
+            def to_i16(w):
+                # identical to utils.audio.write_wav's PCM_16 conversion
+                w = jnp.clip(w, -1.0, 1.0 - 1.0 / 32768.0)
+                return jnp.round(w * 32768.0).astype(jnp.int16)
+
             y_wave = istft(mask * re, mask * im, n_fft, hop, n_samples)
+            if only_instruments:
+                # caller reconstructs vocals as mixture - instruments
+                return (to_i16(y_wave),) if pcm16_io else (y_wave,)
             v_wave = istft((1 - mask) * re, (1 - mask) * im, n_fft, hop,
                            n_samples)
             if pcm16_io:
-                # identical to utils.audio.write_wav's PCM_16 conversion
-                def to_i16(w):
-                    w = jnp.clip(w, -1.0, 1.0 - 1.0 / 32768.0)
-                    return jnp.round(w * 32768.0).astype(jnp.int16)
-
                 return to_i16(y_wave), to_i16(v_wave)
             return y_wave, v_wave
 
@@ -248,8 +252,14 @@ class Separator:
             )
         run = self._wave_fn(wave.shape[-1], tta, pcm16_io)
         if pcm16_io and wave.dtype != np.int16:
-            wave = np.clip(wave, -1.0, 1.0 - 1.0 / 32768.0)
-            wave = np.round(wave * 32768.0).astype(np.int16)
+            from vocal_remover_tpu import native
+
+            enc = native.pcm16_encode(np.ascontiguousarray(wave, np.float32))
+            if enc is not None:
+                wave = enc
+            else:
+                wave = np.clip(wave, -1.0, 1.0 - 1.0 / 32768.0)
+                wave = np.round(wave * 32768.0).astype(np.int16)
         dtype = np.int16 if pcm16_io else np.float32
         y, v = run(np.ascontiguousarray(wave, dtype), self.variables)
         return np.asarray(y), np.asarray(v)

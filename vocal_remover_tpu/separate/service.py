@@ -38,6 +38,13 @@ class SeparatorService:
 
     def _prepare(self, wave: np.ndarray) -> np.ndarray:
         if self.pcm16_io and wave.dtype != np.int16:
+            from vocal_remover_tpu import native
+
+            enc = native.pcm16_encode(
+                np.ascontiguousarray(wave, np.float32)
+            )
+            if enc is not None:
+                return enc
             w = np.clip(wave, -1.0, 1.0 - 1.0 / 32768.0)
             return np.round(w * 32768.0).astype(np.int16)
         if not self.pcm16_io:
@@ -51,11 +58,13 @@ class SeparatorService:
         q_out: queue.Queue = queue.Queue(maxsize=self.depth)
         sep, tta, pcm16 = self.sep, self.tta, self.pcm16_io
 
+        resid = self.vocals_residual and self.pcm16_io
+
         def uploader():
             try:
                 for w in waves:
                     w = self._prepare(w)
-                    run = sep._wave_fn(w.shape[-1], tta, pcm16)
+                    run = sep._wave_fn(w.shape[-1], tta, pcm16, resid)
                     dev = jax.device_put(w)
                     q_up.put((run, dev, w))
             except BaseException as e:
@@ -71,7 +80,9 @@ class SeparatorService:
                         q_out.put(item)
                         return
                     run, dev, host_w = item
-                    y, v = run(dev, sep.variables)  # async dispatch
+                    out = run(dev, sep.variables)  # async dispatch
+                    y = out[0]
+                    v = out[1] if len(out) > 1 else None
                     q_out.put((y, v, host_w))
             except BaseException as e:
                 q_out.put(e)
@@ -87,7 +98,7 @@ class SeparatorService:
                 raise item
             y, v, host_w = item
             y = np.asarray(y)
-            if self.vocals_residual and self.pcm16_io:
+            if resid:
                 vv = host_w.astype(np.int32) - y.astype(np.int32)
                 yield y, np.clip(vv, -32768, 32767).astype(np.int16)
             else:

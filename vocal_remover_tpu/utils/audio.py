@@ -89,8 +89,14 @@ def write_wav(path: str, wave: np.ndarray, sr: int, subtype: str = "PCM_16"):
         w = w[None, :]
     data = w.T  # (L, C)
     if subtype == "PCM_16":
-        data = np.clip(data, -1.0, 1.0 - 1.0 / 32768.0)
-        data = np.round(data * 32768.0).astype(np.int16)
+        from vocal_remover_tpu import native
+
+        enc = native.pcm16_encode(np.ascontiguousarray(data))
+        if enc is not None:
+            data = enc
+        else:
+            data = np.clip(data, -1.0, 1.0 - 1.0 / 32768.0)
+            data = np.round(data * 32768.0).astype(np.int16)
     elif subtype == "FLOAT":
         data = data.astype(np.float32)
     else:
