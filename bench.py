@@ -42,7 +42,7 @@ def main():
 
     model = CascadedNet(2048, 1024, 32, 128)
     variables = model.init(jax.random.PRNGKey(0))
-    sep = Separator(model, variables, batchsize=24, cropsize=256)
+    sep = Separator(model, variables, batchsize=8, cropsize=256)
     svc = SeparatorService(sep, pcm16_io=True, vocals_residual=True)
 
     rng = np.random.default_rng(0)

@@ -113,6 +113,25 @@ def test_state_dict_roundtrip(small_pair):
         np.testing.assert_array_equal(out[k], sd[k], err_msg=k)
 
 
+@pytest.mark.reference
+def test_export_loads_into_reference_strict(reference_lib, small_pair):
+    """to_torch output must load into the real reference model with
+    strict=True — proves complete, exactly-named key coverage."""
+    tmod, jmod, v = small_pair
+    sd = jmod.to_torch(v)
+    fresh = reference_lib.nets.CascadedNet(256, 128, 8, 16)
+    fresh.load_state_dict(
+        {k: torch.from_numpy(np.asarray(val).copy()) for k, val in sd.items()}
+    )
+    x = torch.randn(1, 2, 129, 128)
+    tmod.eval()
+    fresh.eval()
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            fresh(x).numpy(), tmod(x).numpy(), atol=1e-6
+        )
+
+
 def test_aux_head(small_pair, rng):
     """aux head (dead weight in reference nets.py:80) is exposed for
     deep supervision and produces a full-shape mask."""

@@ -18,6 +18,19 @@ import jax.numpy as jnp
 
 _precision = "highest"
 _compute_dtype = jnp.float32
+_lstm_impl = "scan"
+
+
+def set_lstm_impl(impl: str):
+    """'scan' (differentiable, default) or 'pallas' (fused TPU kernel,
+    inference paths)."""
+    global _lstm_impl
+    assert impl in ("scan", "pallas")
+    _lstm_impl = impl
+
+
+def get_lstm_impl() -> str:
+    return _lstm_impl
 
 
 def set_precision(p: str):

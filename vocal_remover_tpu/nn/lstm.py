@@ -45,7 +45,15 @@ def bilstm(params, x, unroll: int = 8):
     time-reversed and stacked on the batch axis, so each sequential step
     does a single (2N, H) @ (H, 4H) matmul instead of two scans — halves
     the serial critical path, the TPU's weak spot for recurrence.
+
+    With `config.set_lstm_impl('pallas')`, dispatches to the fused
+    Pallas kernel (nn/lstm_pallas.py) that runs the whole recurrence in
+    one kernel with VMEM-resident state (inference paths only — no VJP).
     """
+    if config.get_lstm_impl() == "pallas":
+        from vocal_remover_tpu.nn.lstm_pallas import bilstm_pallas
+
+        return bilstm_pallas(params, x)
     prec = config.get_precision()
     pf, pb = params["fwd"], params["bwd"]
     hidden = pf["w_hh"].shape[0]
