@@ -98,6 +98,32 @@ def test_aggressive_vocal_removal_reduces_target(song_dir, rng):
     )
 
 
+def test_subdirs_split(tmp_path, rng):
+    sr = 8000
+    for sub in ("training", "validation"):
+        for kind in ("mixtures", "instruments"):
+            d = tmp_path / sub / kind
+            d.mkdir(parents=True)
+            w = (rng.standard_normal((2, sr)) * 0.2).astype(np.float32)
+            audio.write_wav(str(d / "a.wav"), w, sr)
+    train, val = pairing.train_val_split(str(tmp_path), "subdirs", 0.2, [])
+    assert len(train) == 1 and len(val) == 1
+    with pytest.raises(ValueError):
+        pairing.train_val_split(str(tmp_path), "subdirs", 0.2, [("x", "y")])
+
+
+def test_mono_aug(song_dir):
+    root, sr = song_dir
+    pairs = pairing.make_pair(str(root / "mixtures"), str(root / "instruments"))
+    tset = cache.make_training_set(pairs, sr, 128, 256)
+    ds = dataset.TrainingSet(
+        tset, cropsize=16, reduction_rate=0, reduction_weight=None,
+        mixup_rate=0, mixup_alpha=1, mono_rate=1.0,
+    )
+    X, y = ds[0]
+    np.testing.assert_allclose(X[0], X[1], atol=1e-6)  # forced mono
+
+
 def test_validation_set(song_dir, tmp_path):
     root, sr = song_dir
     pairs = pairing.make_pair(str(root / "mixtures"), str(root / "instruments"))

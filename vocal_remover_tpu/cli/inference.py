@@ -30,7 +30,11 @@ def build_parser():
     p.add_argument('--gpu', '-g', type=int, default=-1)
     p.add_argument('--pretrained_model', '-P', type=str,
                    default=DEFAULT_MODEL_PATH)
-    p.add_argument('--input', '-i', required=True)
+    group = p.add_mutually_exclusive_group(required=True)
+    group.add_argument('--input', '-i')
+    group.add_argument('--input_dir', type=str,
+                       help='separate every audio file in a directory '
+                            'through the pipelined serving path')
     p.add_argument('--sr', '-r', type=int, default=44100)
     p.add_argument('--n_fft', '-f', type=int, default=2048)
     p.add_argument('--hop_length', '-H', type=int, default=1024)
@@ -42,7 +46,75 @@ def build_parser():
     p.add_argument('--output_dir', '-o', type=str, default="")
     p.add_argument('--precision', type=str, default='highest',
                    choices=['highest', 'default'])
+    p.add_argument('--lstm_impl', type=str, default='scan',
+                   choices=['scan', 'pallas'],
+                   help='pallas = fused TPU recurrence kernel')
     return p
+
+
+def _run_batch(args, model, variables):
+    """Directory mode: pipelined serving over every audio file.
+
+    Song lengths are zero-padded up to 30 s buckets so jitted pipeline
+    shapes are shared across songs (bounded compiles); outputs are
+    trimmed back before writing.
+    """
+    import numpy as np
+
+    from vocal_remover_tpu.data.pairing import INPUT_EXTS
+    from vocal_remover_tpu.separate.separator import Separator
+    from vocal_remover_tpu.separate.service import SeparatorService
+    from vocal_remover_tpu.utils import audio
+
+    if args.postprocess or args.output_image:
+        raise SystemExit(
+            "--input_dir uses the pure-device serving path; "
+            "--postprocess/--output_image require single-file mode"
+        )
+
+    files = sorted(
+        os.path.join(args.input_dir, f)
+        for f in os.listdir(args.input_dir)
+        if os.path.splitext(f)[1].lower() in INPUT_EXTS
+    )
+    if not files:
+        raise SystemExit(f"no audio files in {args.input_dir!r}")
+
+    output_dir = args.output_dir
+    if output_dir != "":
+        output_dir = output_dir.rstrip('/') + '/'
+        os.makedirs(output_dir, exist_ok=True)
+
+    bucket = 30 * args.sr  # 30 s granularity
+    lengths = []
+
+    def gen():
+        for path in files:
+            X, _ = audio.load(path, sr=args.sr, mono=False)
+            if X.ndim == 1:
+                X = np.stack([X, X])
+            n = X.shape[-1]
+            lengths.append(n)
+            padded = -(-n // bucket) * bucket
+            yield np.pad(X, ((0, 0), (0, padded - n)))
+
+    sp = Separator(model, variables, batchsize=args.batchsize,
+                   cropsize=args.cropsize)
+    svc = SeparatorService(sp, pcm16_io=True, tta=args.tta,
+                           vocals_residual=True)
+
+    for i, (y, v) in enumerate(svc.map(gen())):
+        basename = os.path.splitext(os.path.basename(files[i]))[0]
+        n = lengths[i]
+        audio.write_wav(
+            f'{output_dir}{basename}_Instruments.wav',
+            y[:, :n].astype(np.float32) / 32768.0, args.sr,
+        )
+        audio.write_wav(
+            f'{output_dir}{basename}_Vocals.wav',
+            v[:, :n].astype(np.float32) / 32768.0, args.sr,
+        )
+        print(basename, 'done')
 
 
 def main(argv=None):
@@ -55,12 +127,16 @@ def main(argv=None):
     from vocal_remover_tpu.utils import audio, image, spec
 
     nn_config.set_precision(args.precision)
+    nn_config.set_lstm_impl(args.lstm_impl)
 
     print('loading model...', end=' ')
     model, variables = convert.load_model(
         args.pretrained_model, args.n_fft, args.hop_length, 32, 128
     )
     print('done')
+
+    if args.input_dir is not None:
+        return _run_batch(args, model, variables)
 
     print('loading wave source...', end=' ')
     X, sr = audio.load(args.input, sr=args.sr, mono=False)

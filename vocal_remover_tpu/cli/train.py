@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument('--reduction_level', '-L', type=float, default=0.2)
     p.add_argument('--mixup_rate', '-M', type=float, default=0.0)
     p.add_argument('--mixup_alpha', '-a', type=float, default=1.0)
+    p.add_argument('--mono_rate', type=float, default=0.0,
+                   help='mono-mix augmentation probability (dormant in '
+                        'the reference: lib/dataset.py:81-83)')
     p.add_argument('--pretrained_model', '-P', type=str, default=None)
     p.add_argument('--debug', action='store_true')
     # TPU-native extensions
@@ -174,6 +177,7 @@ def main(argv=None):
         mixup_rate=args.mixup_rate,
         mixup_alpha=args.mixup_alpha,
         seed=args.seed,
+        mono_rate=args.mono_rate,
     )
     train_loader = Loader(
         train_dataset,

@@ -30,7 +30,7 @@ class TrainingSet:
 
     def __init__(self, training_set, cropsize, reduction_rate,
                  reduction_weight, mixup_rate, mixup_alpha, seed=0,
-                 is_complex=False):
+                 is_complex=False, mono_rate=0.0):
         self.training_set = training_set
         self.cropsize = cropsize
         self.reduction_rate = reduction_rate
@@ -38,6 +38,9 @@ class TrainingSet:
         self.mixup_rate = mixup_rate
         self.mixup_alpha = mixup_alpha
         self.is_complex = is_complex
+        # mono-mix augmentation: dormant in the reference (commented out
+        # at lib/dataset.py:81-83); carried here as a real option
+        self.mono_rate = mono_rate
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -72,6 +75,10 @@ class TrainingSet:
 
         if self.rng.uniform() < 0.01:  # instrumental as mixture
             X = y.copy()
+
+        if self.mono_rate > 0 and self.rng.uniform() < self.mono_rate:
+            X = np.broadcast_to(X.mean(axis=0, keepdims=True), X.shape).copy()
+            y = np.broadcast_to(y.mean(axis=0, keepdims=True), y.shape).copy()
 
         return X, y
 

@@ -26,59 +26,69 @@ from jax.experimental.pallas import tpu as pltpu
 from vocal_remover_tpu.nn import config
 
 
-def _cell_kernel(xg_ref, whh_ref, out_ref, h_sc, c_sc):
-    """One timestep: gates = xg_t + [h_f @ W_f; h_b @ W_b], LSTM update.
+def _make_cell_kernel(time_block: int):
+    def kernel(xg_ref, whh_ref, out_ref, h_sc, c_sc):
+        """`time_block` timesteps per grid iteration (statically
+        unrolled in VMEM — amortizes the per-grid-step overhead that
+        dominates this tiny recurrence).
 
-    xg_ref: (1, 2N, 4H) input projection for this step (both directions
-            stacked on the batch axis; backward pre-reversed in time)
-    whh_ref: (2, H, 4H) recurrent weights per direction
-    out_ref: (1, 2N, H)
-    h_sc, c_sc: (2N, H) VMEM state persisting across the time grid
-    """
-    t = pl.program_id(0)
+        xg_ref: (TB, 2N, 4H) input projections (both directions stacked
+                on the batch axis; backward pre-reversed in time)
+        whh_ref: (2, H, 4H) recurrent weights per direction
+        out_ref: (TB, 2N, H)
+        h_sc, c_sc: (2N, H) VMEM state persisting across the time grid
+        """
+        t = pl.program_id(0)
 
-    @pl.when(t == 0)
-    def _():
-        h_sc[:] = jnp.zeros_like(h_sc)
-        c_sc[:] = jnp.zeros_like(c_sc)
+        @pl.when(t == 0)
+        def _():
+            h_sc[:] = jnp.zeros_like(h_sc)
+            c_sc[:] = jnp.zeros_like(c_sc)
 
-    two_n, hidden = h_sc.shape
-    n = two_n // 2
+        two_n, hidden = h_sc.shape
+        n = two_n // 2
 
-    h = h_sc[:]
-    rec_f = jnp.dot(h[:n], whh_ref[0],
-                    preferred_element_type=jnp.float32)
-    rec_b = jnp.dot(h[n:], whh_ref[1],
-                    preferred_element_type=jnp.float32)
-    gates = xg_ref[0] + jnp.concatenate([rec_f, rec_b], axis=0)
+        h = h_sc[:]
+        c = c_sc[:]
+        for k in range(time_block):
+            rec_f = jnp.dot(h[:n], whh_ref[0],
+                            preferred_element_type=jnp.float32)
+            rec_b = jnp.dot(h[n:], whh_ref[1],
+                            preferred_element_type=jnp.float32)
+            gates = xg_ref[k] + jnp.concatenate([rec_f, rec_b], axis=0)
 
-    i = jax.nn.sigmoid(gates[:, :hidden])
-    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
 
-    c = f * c_sc[:] + i * g
-    h = o * jnp.tanh(c)
-    c_sc[:] = c
-    h_sc[:] = h
-    out_ref[0] = h
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            out_ref[k] = h
+        c_sc[:] = c
+        h_sc[:] = h
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_recurrence(xg, w_hh, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "time_block"))
+def _run_recurrence(xg, w_hh, interpret=False, time_block=8):
     """xg: (T, 2N, 4H), w_hh: (2, H, 4H) -> hs (T, 2N, H)."""
     t_len, two_n, four_h = xg.shape
     hidden = four_h // 4
+    while t_len % time_block:
+        time_block //= 2
     return pl.pallas_call(
-        _cell_kernel,
-        grid=(t_len,),
+        _make_cell_kernel(time_block),
+        grid=(t_len // time_block,),
         in_specs=[
-            pl.BlockSpec((1, two_n, four_h), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, two_n, four_h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hidden, four_h), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, two_n, hidden), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((time_block, two_n, hidden),
+                               lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_len, two_n, hidden), jnp.float32),
         scratch_shapes=[

@@ -29,16 +29,22 @@ import optax
 from vocal_remover_tpu.nn.partition import merge, partition
 from vocal_remover_tpu.parallel import mesh as mesh_lib
 from vocal_remover_tpu.train import losses
+from vocal_remover_tpu.train.prefetch import device_prefetch
 
 
 
 class Trainer:
     def __init__(self, model, variables, learning_rate, accumulation_steps=1,
-                 mesh=None, seed=0, dropout=True):
+                 mesh=None, seed=0, dropout=True, transfer_dtype=None,
+                 prefetch=2):
         self.model = model
         self.accumulation_steps = accumulation_steps
         self.mesh = mesh
         self.dropout = dropout  # False => deterministic training (no dropout)
+        # ship batches as e.g. jnp.bfloat16 to halve host-link traffic
+        # (upcast to f32 on device before the loss); None = as-is
+        self.transfer_dtype = transfer_dtype
+        self.prefetch = prefetch
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate
         )
@@ -71,8 +77,8 @@ class Trainer:
     def _loss(self, params, stats, X, y, rng):
         variables = merge(params, stats)
         # host batches are (N, C, F, T) like the reference; go NHWC on device
-        Xh = jnp.transpose(X, (0, 2, 3, 1))
-        yh = jnp.transpose(y, (0, 2, 3, 1))
+        Xh = jnp.transpose(X, (0, 2, 3, 1)).astype(jnp.float32)
+        yh = jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
         if not self.dropout:
             rng = None
         mask, new_vars = self.model.apply(variables, Xh, train=True, rng=rng)
@@ -140,9 +146,19 @@ class Trainer:
         )
 
     def _put_batch(self, X, y):
+        if self.transfer_dtype is not None:
+            X = np.asarray(X).astype(self.transfer_dtype)
+            y = np.asarray(y).astype(self.transfer_dtype)
         if self.mesh is not None:
             return mesh_lib.shard_batch(self.mesh, X, y)
-        return X, y
+        return jax.device_put(X), jax.device_put(y)
+
+    def _staged(self, loader):
+        """Iterate (X_dev, y_dev, batch_len) with background H2D staging."""
+        it = ((self._put_batch(X, y), len(X)) for X, y in loader)
+        if self.prefetch > 0:
+            return device_prefetch(it, lambda z: z, depth=self.prefetch)
+        return it
 
     def train_epoch(self, loader) -> float:
         """One epoch; returns dataset-mean per-sample loss
@@ -151,10 +167,9 @@ class Trainer:
         sum_loss = jnp.zeros(())
         n_samples = 0
         itr = -1
-        for itr, (X, y) in enumerate(loader):
+        for itr, ((Xd, yd), blen) in enumerate(self._staged(loader)):
             rng = jax.random.fold_in(self.base_key, self._step_counter)
             self._step_counter += 1
-            Xd, yd = self._put_batch(X, y)
             if A == 1:
                 loss, self.params, self.stats, self.opt_state = self._fused(
                     self.params, self.stats, self.opt_state, Xd, yd, rng
@@ -167,8 +182,8 @@ class Trainer:
                     self.params, self.opt_state, self.grad_buf = self._apply(
                         self.params, self.opt_state, self.grad_buf
                     )
-            sum_loss = sum_loss + loss * len(X)
-            n_samples += len(X)
+            sum_loss = sum_loss + loss * blen
+            n_samples += blen
         if A > 1 and itr >= 0 and (itr + 1) % A != 0:
             self.params, self.opt_state, self.grad_buf = self._apply(
                 self.params, self.opt_state, self.grad_buf
@@ -178,9 +193,8 @@ class Trainer:
     def validate_epoch(self, loader) -> float:
         sum_loss = jnp.zeros(())
         n_samples = 0
-        for X, y in loader:
-            Xd, yd = self._put_batch(X, y)
+        for (Xd, yd), blen in self._staged(loader):
             loss = self._eval(self.params, self.stats, Xd, yd)
-            sum_loss = sum_loss + loss * len(X)
-            n_samples += len(X)
+            sum_loss = sum_loss + loss * blen
+            n_samples += blen
         return float(sum_loss) / max(n_samples, 1)
