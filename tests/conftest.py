@@ -65,3 +65,4 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "reference: test compares against the upstream reference"
     )
+    config.addinivalue_line("markers", "slow: long-running integration test")

@@ -82,6 +82,24 @@ def test_data_parallel_validation(tiny):
     assert abs(a - b) < 1e-6
 
 
+def test_sequence_parallel_separation(tiny):
+    """Patch-axis sharded whole-song separation == single-device."""
+    from vocal_remover_tpu.separate.separator import Separator
+
+    model, variables, _, _ = tiny
+    rng = np.random.default_rng(7)
+    wave = (rng.standard_normal((2, 32 * 4000)) * 0.3).astype(np.float32)
+
+    sp1 = Separator(model, variables, batchsize=2, cropsize=256)
+    y1, v1 = sp1.separate_wave(wave)
+
+    mesh = mesh_lib.make_mesh()
+    sp8 = Separator(model, variables, batchsize=2, cropsize=256, mesh=mesh)
+    y8, v8 = sp8.separate_wave(wave)
+    np.testing.assert_allclose(y8, y1, atol=2e-4)
+    np.testing.assert_allclose(v8, v1, atol=2e-4)
+
+
 def test_dryrun_multichip_entry():
     import sys
 

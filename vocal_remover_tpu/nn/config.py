@@ -34,9 +34,14 @@ def get_lstm_impl() -> str:
 
 
 def set_precision(p: str):
-    global _precision
+    """highest = f32 MXU (parity), default = bf16 MXU multiplies with
+    f32 activations, bfloat16 = bf16 activations end-to-end (halves HBM
+    traffic of the conv stack; masks differ from f32 by ~1e-2 — serving
+    mode, not for parity checks)."""
+    global _precision, _compute_dtype
     assert p in ("highest", "default", "bfloat16")
     _precision = p
+    _compute_dtype = jnp.bfloat16 if p == "bfloat16" else jnp.float32
 
 
 def get_precision():

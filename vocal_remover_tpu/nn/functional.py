@@ -12,7 +12,17 @@ BN_MOMENTUM = 0.1
 
 
 def conv2d(x, w, stride=1, padding=1, dilation=1):
-    """NHWC conv with HWIO kernel (torch Conv2d semantics, bias-free)."""
+    """NHWC conv with HWIO kernel (torch Conv2d semantics, bias-free).
+
+    In bf16 compute mode, inputs/kernels are cast so activations stay
+    bf16 in HBM (the conv stack is bandwidth-bound); accumulation is
+    still f32 on the MXU.
+    """
+    dt = config.get_compute_dtype()
+    if x.dtype != dt:
+        x = x.astype(dt)
+    if w.dtype != dt:
+        w = w.astype(dt)
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     if isinstance(padding, int):
         p = [(padding, padding)] * 2
@@ -57,8 +67,13 @@ def batch_norm(x, bn, *, train: bool, axes=None):
             var=(1 - BN_MOMENTUM) * bn["var"] + BN_MOMENTUM * unbiased,
         )
     else:
-        mean, var = bn["mean"], bn["var"]
-        new_bn = bn
+        # eval: fold into one multiply-add (computed in f32, applied in
+        # the activation dtype so bf16 chains stay bf16)
+        inv = jax.lax.rsqrt(bn["var"] + BN_EPS)
+        scale = inv * bn["scale"]
+        shift = bn["bias"] - bn["mean"] * scale
+        y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+        return y, bn
     inv = jax.lax.rsqrt(var + BN_EPS)
     y = (x - mean) * (inv * bn["scale"]) + bn["bias"]
     return y, new_bn

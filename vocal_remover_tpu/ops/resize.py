@@ -40,7 +40,8 @@ def interp_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def _apply_axis(x, A: np.ndarray, axis: int):
-    M = jnp.asarray(A)
+    # keep the activation dtype (bf16 chains stay bf16)
+    M = jnp.asarray(A).astype(x.dtype)
     x = jnp.moveaxis(x, axis, -1)
     y = jnp.matmul(x, M.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(y, -1, axis)

@@ -43,16 +43,29 @@ from vocal_remover_tpu.utils.spec import merge_artifacts
 
 class Separator:
     def __init__(self, model, variables, batchsize=4, cropsize=256,
-                 postprocess=False, progress=None):
+                 postprocess=False, mesh=None):
+        """mesh: optional jax Mesh — shards the patch axis of a song
+        across all mesh devices (sequence parallelism; patches are
+        halo-free by the windowing contract, so no collectives are
+        needed until the stitch's implicit all-gather). Weights are
+        replicated; `batchsize` chunking is replaced by one sharded
+        model call."""
         self.model = model
-        # pin weights on device once; jitted calls take them as arguments
-        # (never as baked-in constants)
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from vocal_remover_tpu.parallel import mesh as mesh_lib
+
+            self.variables = mesh_lib.replicate(mesh, variables)
+            self._n_shards = int(np.prod(list(mesh.shape.values())))
+        else:
+            # pin weights on device once; jitted calls take them as
+            # arguments (never as baked-in constants)
+            self.variables = jax.device_put(variables)
+            self._n_shards = 1
         self.offset = model.offset
         self.batchsize = max(1, batchsize)
         self.cropsize = cropsize
         self.postprocess = postprocess
-        self.progress = progress  # optional callable(str) for status lines
 
     # ------------------------------------------------------------------
     # jitted core: padded (re, im) -> stitched mask
@@ -168,10 +181,13 @@ class Separator:
         pad_l0, pad_r0, roi = make_padding(n_frame, crop, off)
         shift = roi // 2
 
+        gran = bs * self._n_shards if self.mesh is not None else bs
+        mesh = self.mesh
+
         def bucketed(pad_l, pad_r):
-            """Round the patch count up to whole chunks of `bs`."""
+            """Round the patch count up to whole chunks."""
             n = num_patches(pad_l + n_frame + pad_r, roi, off)
-            n_bucket = -(-n // bs) * bs
+            n_bucket = -(-n // gran) * gran
             return pad_l, pad_r + (n_bucket - n) * roi
 
         pad_l, pad_r = bucketed(pad_l0, pad_r0)
@@ -181,12 +197,21 @@ class Separator:
             mag = jnp.sqrt(re_pad * re_pad + im_pad * im_pad) * inv_scale
             patches = extract_patches(mag, crop, roi, off)
             x = jnp.transpose(patches, (0, 2, 3, 1))
-            n_p = x.shape[0]  # whole multiple of bs by construction
-            out = jax.lax.map(
-                lambda xb: model(variables, xb),
-                x.reshape(n_p // bs, bs, *x.shape[1:]),
-            )
-            out = out.reshape(n_p, *out.shape[2:])
+            n_p = x.shape[0]  # whole multiple of gran by construction
+            if mesh is not None:
+                # sequence parallelism: patch axis sharded over the mesh
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+                )
+                out = model(variables, x)
+            else:
+                out = jax.lax.map(
+                    lambda xb: model(variables, xb),
+                    x.reshape(n_p // bs, bs, *x.shape[1:]),
+                )
+                out = out.reshape(n_p, *out.shape[2:])
             out = jnp.transpose(out, (0, 3, 1, 2))
             return stitch_masks(out, off)
 
