@@ -1,0 +1,51 @@
+"""Streamed segmented separation == monolithic separate_wave, for
+lengths that do and don't align with segment boundaries."""
+
+import numpy as np
+import pytest
+import jax
+
+from vocal_remover_tpu.models.cascaded import CascadedNet
+from vocal_remover_tpu.separate.separator import Separator
+from vocal_remover_tpu.separate.streaming import StreamingSeparator
+
+
+@pytest.fixture(scope="module")
+def small():
+    model = CascadedNet(256, 128, 8, 16)
+    variables = model.init(jax.random.PRNGKey(0))
+    return model, variables
+
+
+@pytest.mark.parametrize("seconds", [3.0, 7.3])
+def test_streaming_matches_monolithic(small, rng, seconds):
+    model, variables = small
+    sr = 16000
+    t = np.arange(int(sr * seconds)) / sr
+    wave = np.stack([
+        0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(len(t)),
+        0.4 * np.sin(2 * np.pi * 220 * t),
+    ]).astype(np.float32)
+
+    mono = Separator(model, variables, batchsize=2, cropsize=256)
+    y_ref, v_ref = mono.separate_wave(wave)
+
+    stream = StreamingSeparator(model, variables, segment_patches=4,
+                                batchsize=2)
+    y, v = stream.separate_wave(wave)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=3e-4)
+    np.testing.assert_allclose(v, v_ref, atol=3e-4)
+
+
+def test_streaming_constant_compile(small, rng):
+    """All segments (interior and edges) reuse one compiled function."""
+    model, variables = small
+    stream = StreamingSeparator(model, variables, segment_patches=4,
+                                batchsize=2)
+    wave = (rng.standard_normal((2, 16000 * 5)) * 0.3).astype(np.float32)
+    fn = stream._segment_fn()
+    stream.separate_wave(wave)
+    # a different length reuses the very same compiled function
+    stream.separate_wave(wave[:, : 16000 * 3])
+    assert stream._segment_fn() is fn

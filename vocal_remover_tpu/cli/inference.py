@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument('--lstm_impl', type=str, default='scan',
                    choices=['scan', 'pallas'],
                    help='pallas = fused TPU recurrence kernel')
+    p.add_argument('--profile', type=str, default=None, metavar='DIR',
+                   help='capture a jax.profiler trace of the separation '
+                        'into DIR (view with tensorboard/xprof)')
     return p
 
 
@@ -135,8 +138,26 @@ def main(argv=None):
     )
     print('done')
 
-    if args.input_dir is not None:
-        return _run_batch(args, model, variables)
+    if args.profile is not None:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
+    try:
+        if args.input_dir is not None:
+            return _run_batch(args, model, variables)
+        _run_single(args, model, variables)
+    finally:
+        if args.profile is not None:
+            jax.profiler.stop_trace()
+
+
+def _run_single(args, model, variables):
+    from vocal_remover_tpu.models import convert  # noqa: F401
+    from vocal_remover_tpu.nn import config as nn_config  # noqa: F401
+    from vocal_remover_tpu.ops import stft as stft_ops
+    from vocal_remover_tpu.separate.separator import Separator
+    from vocal_remover_tpu.utils import audio, image, spec
 
     print('loading wave source...', end=' ')
     X, sr = audio.load(args.input, sr=args.sr, mono=False)

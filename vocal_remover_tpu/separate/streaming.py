@@ -1,0 +1,254 @@
+"""Streamed whole-song separation: constant memory, one compile.
+
+`separate_wave` (separator.py) ships the whole song through one jitted
+call — ideal for songs, but memory and compile time grow with length
+(one compile per length bucket). This module processes audio of ANY
+length in fixed-size segments of K patches each, with:
+
+  * bit-faithful equality to the monolithic path (same masks, same
+    overlap-add): each segment recomputes its one-patch halo so no
+    cross-segment state is needed, zeroed "virtual padding" frames
+    reproduce the global spectrogram padding, and the global
+    window-sum-square normalization is passed in per segment;
+  * ONE compiled function reused by every segment of every song
+    (edge segments differ only in runtime arguments);
+  * O(segment) device and host memory.
+
+Geometry (all in STFT frames; roi = cropsize - 2*offset, pad_l = offset
+per the windowing contract, reference lib/dataset.py:198-205):
+
+  segment k owns patches [kK, (k+1)K) => valid padded frames
+  [kK*roi + off, ...), i.e. original frames [kK*roi, (k+1)K*roi).
+  It computes patches [kK-1, (k+1)K+1) (one halo patch each side), so
+  the masked frames needed by its overlap-add halo are local.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocal_remover_tpu.ops.stft import (
+    _window_sumsquare,
+    hann_window,
+    num_frames,
+)
+from vocal_remover_tpu.ops.windowing import extract_patches, stitch_masks
+
+
+class StreamingSeparator:
+    """Segment-streamed counterpart of Separator.separate_wave
+    (separate-mode normalization: global max |X|; no TTA/postprocess).
+    """
+
+    def __init__(self, model, variables, segment_patches=32, batchsize=8):
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.bs = batchsize
+        # K + 2 (owned + halo patches) must fill whole chunks
+        self.K = max(
+            batchsize - 2,
+            -(-(segment_patches + 2) // batchsize) * batchsize - 2,
+        )
+        self.offset = model.offset
+        n_fft, hop = model.n_fft, model.hop_length
+        assert model.offset * 2 <= 256  # crop = 2*roi geometry
+        self.crop = 256 if model.offset == 64 else 4 * model.offset
+        self.roi = self.crop - 2 * self.offset
+        assert n_fft // 2 == hop, (
+            "streaming assumes the default 50%-overlap STFT geometry"
+        )
+
+    # -- static geometry -------------------------------------------------
+
+    def _geometry(self):
+        n_fft, hop = self.model.n_fft, self.model.hop_length
+        K, roi, off, crop = self.K, self.roi, self.offset, self.crop
+        pad = n_fft // 2
+        seg_frames = (K + 3) * roi  # frames feeding K+2 patches
+        slice_len = (seg_frames - 1) * hop + n_fft
+        return n_fft, hop, K, roi, off, crop, pad, seg_frames, slice_len
+
+    # -- the single jitted segment function ------------------------------
+
+    @functools.lru_cache(maxsize=2)
+    def _segment_fn(self):
+        (n_fft, hop, K, roi, off, crop, pad, seg_frames,
+         slice_len) = self._geometry()
+        model = self.model
+        bs = self.bs
+        n_patches = K + 2
+        window = jnp.asarray(hann_window(n_fft))
+        emit = K * roi * hop  # OLA positions emitted per segment
+
+        @jax.jit
+        def run(wave_slice, frame_valid, wss_slice, inv_scale, variables):
+            # frames of the original spectrogram covered by this segment
+            idx = (
+                np.arange(seg_frames)[:, None] * hop
+                + np.arange(n_fft)[None, :]
+            )
+            frames = wave_slice[:, idx] * window  # (2, seg_frames, n_fft)
+            spec = jnp.fft.rfft(frames, axis=-1)
+            re = jnp.real(spec).astype(jnp.float32)
+            im = jnp.imag(spec).astype(jnp.float32)
+            # zero the virtual spectrogram-padding frames
+            re = re * frame_valid[None, :, None]
+            im = im * frame_valid[None, :, None]
+            re = jnp.moveaxis(re, -1, -2)  # (2, F, seg_frames)
+            im = jnp.moveaxis(im, -1, -2)
+
+            mag = jnp.sqrt(re * re + im * im) * inv_scale
+            patches = extract_patches(mag, crop, roi, off)  # (K+2, 2, F, crop)
+            x = jnp.transpose(patches, (0, 2, 3, 1))
+            out = jax.lax.map(
+                lambda xb: model(variables, xb),
+                x.reshape(n_patches // bs, bs, *x.shape[1:]),
+            )
+            out = out.reshape(n_patches, *out.shape[2:])
+            out = jnp.transpose(out, (0, 3, 1, 2))
+            mask = stitch_masks(out, off)  # rel frames [off, off+(K+2)*roi)
+
+            # masked original frames needed for OLA: [A-1, B+1).
+            # stitched-mask index j <-> original frame (a-1)*roi + j, so
+            # frame A-1 = a*roi - 1 is j = roi - 1; the local spectrogram
+            # rel index of the same frame is r = j + off.
+            span = K * roi + 2
+            m = mask[:, :, roi - 1 : roi - 1 + span]
+            xr = re[:, :, roi + off - 1 : roi + off - 1 + span]
+            xi = im[:, :, roi + off - 1 : roi + off - 1 + span]
+            yr, yi = m * xr, m * xi
+            vr, vi = (1 - m) * xr, (1 - m) * xi
+
+            def ola(sr_, si_):
+                s = jax.lax.complex(
+                    jnp.moveaxis(sr_, -1, -2), jnp.moveaxis(si_, -1, -2)
+                )
+                fr = jnp.fft.irfft(s, n=n_fft, axis=-1) * window
+                # dense grouped overlap-add over span frames
+                total = n_fft + hop * (span - 1)
+                acc = jnp.zeros((sr_.shape[0], total), jnp.float32)
+                for g in range(2):  # n_fft/hop == 2 groups
+                    f_g = fr[:, g::2]
+                    tg = f_g.shape[1]
+                    flat = f_g.reshape(sr_.shape[0], tg * n_fft)
+                    left = g * hop
+                    room = total - left
+                    if flat.shape[-1] > room:
+                        flat = flat[:, :room]
+                    else:
+                        flat = jnp.pad(flat,
+                                       ((0, 0), (0, room - flat.shape[-1])))
+                    acc = acc + jnp.pad(flat, ((0, 0), (left, 0)))
+                # emit positions [hop, hop + emit) relative to frame A-1
+                return acc[:, hop : hop + emit] / wss_slice
+
+            y = ola(yr, yi)
+            v = ola(vr, vi)
+            return y, v
+
+        return run
+
+    # -- host orchestration ----------------------------------------------
+
+    def _wave_window(self, wave, lo, hi):
+        """wave samples [lo, hi) with librosa-style reflect padding
+        beyond the ends (only the global edges ever reflect)."""
+        L = wave.shape[-1]
+        if lo >= 0 and hi <= L:
+            return wave[:, lo:hi]
+        idx = np.arange(lo, hi)
+        idx = np.abs(idx)  # left reflect
+        idx = np.where(idx >= L, 2 * L - 2 - idx, idx)  # right reflect
+        idx = np.clip(idx, 0, L - 1)
+        return wave[:, idx]
+
+    def separate_wave(self, wave: np.ndarray):
+        """(2, L) float32 -> (instruments, vocals), streaming segments.
+        Matches Separator.separate_wave (non-TTA) within float tolerance
+        for any length."""
+        (n_fft, hop, K, roi, off, crop, pad, seg_frames,
+         slice_len) = self._geometry()
+        L = wave.shape[-1]
+        n_frame = num_frames(L, n_fft, hop)
+        n_valid = -(-n_frame // roi) * roi  # frames covered by patches
+        n_segments = -(-n_valid // (K * roi))
+
+        # pass 1: global max |X| (reference inference.py:74) — stream the
+        # magnitudes segment-wise on device? cheap enough on host via the
+        # same framing in chunks.
+        inv_scale = np.float32(1.0 / self._global_mag_max(wave))
+
+        run = self._segment_fn()
+        wss = _window_sumsquare(n_frame, n_fft, hop)
+        tiny = np.finfo(np.float32).tiny
+        wss = np.where(wss > tiny, wss, 1.0).astype(np.float32)
+
+        y_out = np.zeros((2, L), np.float32)
+        v_out = np.zeros((2, L), np.float32)
+        emit = K * roi * hop
+
+        for k in range(n_segments):
+            a = k * K  # first owned patch
+            # segment frames (original coords): [(a-1)*roi - off, ...)
+            f0 = (a - 1) * roi - off
+            lo = f0 * hop - pad
+            win = self._wave_window(wave, lo, lo + slice_len)
+            valid = (
+                (np.arange(f0, f0 + seg_frames) >= 0)
+                & (np.arange(f0, f0 + seg_frames) < n_frame)
+            ).astype(np.float32)
+
+            # OLA positions emitted: [A*hop, B*hop), A = a*roi
+            p0 = a * roi * hop
+            wss_seg = np.ones(emit, np.float32)
+            n_avail = min(emit, len(wss) - p0) if p0 < len(wss) else 0
+            if n_avail > 0:
+                wss_seg[:n_avail] = wss[p0 : p0 + n_avail]
+
+            y_seg, v_seg = run(win, valid, wss_seg, inv_scale,
+                               self.variables)
+            # output samples [p0 - pad, p0 - pad + emit)
+            s0 = p0 - pad
+            src0 = max(0, -s0)
+            dst0 = max(0, s0)
+            n_copy = min(emit - src0, L - dst0)
+            if n_copy > 0:
+                y_out[:, dst0 : dst0 + n_copy] = np.asarray(
+                    y_seg[:, src0 : src0 + n_copy]
+                )
+                v_out[:, dst0 : dst0 + n_copy] = np.asarray(
+                    v_seg[:, src0 : src0 + n_copy]
+                )
+        # the centered iSTFT's natural length is hop*(n_frame-1); the
+        # monolithic path zero-pads beyond it (ops/stft.py istft length
+        # handling) — reproduce that tail exactly
+        natural = hop * (n_frame - 1)
+        if natural < L:
+            y_out[:, natural:] = 0.0
+            v_out[:, natural:] = 0.0
+        return y_out, v_out
+
+    def _global_mag_max(self, wave, chunk_frames=4096):
+        """max |STFT(wave)| streamed frame-chunk-wise — exactly the
+        global spectrogram's frames (reflect-padded edges included)."""
+        n_fft, hop = self.model.n_fft, self.model.hop_length
+        pad = n_fft // 2
+        L = wave.shape[-1]
+        n_frame = num_frames(L, n_fft, hop)
+        w = hann_window(n_fft, np.float64)
+        best = 0.0
+        for t0 in range(0, n_frame, chunk_frames):
+            t1 = min(t0 + chunk_frames, n_frame)
+            lo = t0 * hop - pad
+            win = self._wave_window(wave, lo, (t1 - 1) * hop - pad + n_fft)
+            idx = (
+                np.arange(t1 - t0)[:, None] * hop
+                + np.arange(n_fft)[None, :]
+            )
+            spec = np.fft.rfft(win[:, idx] * w, axis=-1).astype(np.complex64)
+            best = max(best, float(np.abs(spec).max()))
+        return best if best > 0 else 1.0
