@@ -72,6 +72,24 @@ def test_inference_cli_postprocess_tta_image(tiny_ckpt, song, tmp_path):
     assert os.path.exists(os.path.join(out, "song_Vocals.jpg"))
 
 
+def test_inference_cli_stream(tiny_ckpt, song, tmp_path):
+    from vocal_remover_tpu.cli.inference import main
+
+    path, w, sr = song
+    out = str(tmp_path / "stream_out")
+    main([
+        "-i", path, "-P", tiny_ckpt, "-f", "256", "-H", "128",
+        "-o", out, "-B", "2", "--stream",
+    ])
+    inst, _ = audio.read_wav(os.path.join(out, "song_Instruments.wav"))
+    voc, _ = audio.read_wav(os.path.join(out, "song_Vocals.wav"))
+    assert inst.shape == w.shape
+    n_fft = 256
+    np.testing.assert_allclose(
+        (inst + voc)[:, n_fft:-n_fft], w[:, n_fft:-n_fft], atol=5e-3
+    )
+
+
 def test_inference_cli_batch_dir(tiny_ckpt, song, tmp_path):
     from vocal_remover_tpu.cli.inference import main
 

@@ -52,6 +52,10 @@ def build_parser():
     p.add_argument('--profile', type=str, default=None, metavar='DIR',
                    help='capture a jax.profiler trace of the separation '
                         'into DIR (view with tensorboard/xprof)')
+    p.add_argument('--stream', action='store_true',
+                   help='segment-streamed separation: constant memory '
+                        'and a single compile for any input length '
+                        '(auto-enabled above 20 minutes of audio)')
     return p
 
 
@@ -184,6 +188,20 @@ def _run_single(args, model, variables):
 
     inst_path = '{}{}_Instruments.wav'.format(output_dir, basename)
     vocal_path = '{}{}_Vocals.wav'.format(output_dir, basename)
+
+    long_audio = X.shape[-1] > 20 * 60 * sr
+    if (args.stream or long_audio) and not args.tta \
+            and not args.postprocess and not args.output_image:
+        from vocal_remover_tpu.separate.streaming import StreamingSeparator
+
+        print('separating (streamed segments)...', end=' ')
+        stream = StreamingSeparator(model, variables,
+                                    batchsize=args.batchsize)
+        y_wave, v_wave = stream.separate_wave(X)
+        print('done')
+        audio.write_wav(inst_path, y_wave, sr)
+        audio.write_wav(vocal_path, v_wave, sr)
+        return
 
     if not args.postprocess and not args.output_image:
         # pure-device fast path: STFT -> model -> mask -> iSTFT in one
