@@ -27,7 +27,8 @@ import numpy as np
 REFERENCE_CPU_XRT = 0.83  # measured on this host; see BENCH_NOTES.md
 SR = 44100
 SECONDS = 60
-N_SONGS = 5
+N_WARMUP = 2  # compile + jit/tunnel warm-up songs, excluded from timing
+N_SONGS = 8
 
 
 def main():
@@ -48,18 +49,18 @@ def main():
     rng = np.random.default_rng(0)
     songs = [
         (rng.standard_normal((2, SR * SECONDS)) * 0.1).astype(np.float32)
-        for _ in range(N_SONGS + 1)
+        for _ in range(N_SONGS + N_WARMUP)
     ]
 
     t_start = None
     done = 0
     for i, (y, v) in enumerate(svc.map(songs)):
-        assert y.shape == (2, SR * SECONDS) and np.isfinite(
-            y.astype(np.float32)
-        ).all()
         if i == 0:
-            t_start = time.time()  # first song absorbed compile/warmup
-        else:
+            assert y.shape == (2, SR * SECONDS)
+            assert np.isfinite(y.astype(np.float32)).all()
+        if i == N_WARMUP - 1:
+            t_start = time.time()
+        elif i >= N_WARMUP:
             done += 1
     elapsed = time.time() - t_start
     xrt = done * SECONDS / elapsed

@@ -127,7 +127,7 @@ def _run_batch(args, model, variables):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from vocal_remover_tpu.models import CascadedNet, convert
+    from vocal_remover_tpu.models import convert
     from vocal_remover_tpu.nn import config as nn_config
     from vocal_remover_tpu.ops import stft as stft_ops
     from vocal_remover_tpu.separate.separator import Separator

@@ -37,7 +37,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from vocal_remover_tpu.data import pairing
-    from vocal_remover_tpu.models import CascadedNet, convert
+    from vocal_remover_tpu.models import convert
     from vocal_remover_tpu.ops.stft import stft_np
     from vocal_remover_tpu.separate.separator import Separator
     from vocal_remover_tpu.utils import audio
