@@ -4,12 +4,14 @@ The reference's Decoder upsamples 2x with
 `F.interpolate(mode='bilinear', align_corners=True)` (reference:
 lib/layers.py:57) and ASPP re-expands a frequency-pooled branch the same
 way (lib/layers.py:96). `jax.image.resize` does not implement the
-align_corners grid, so we build the (sparse, two-taps-per-row)
-interpolation matrices host-side and apply them as dense matmuls along
-the H and W axes — which is exactly what the MXU wants anyway.
+align_corners grid, so the two-tap interpolation (source index
+i*(n_in-1)/(n_out-1)) is built host-side and applied as two gathers + a
+lerp — O(n) work per element. (A dense interp-matrix matmul is exact
+too but O(n^2) FLOPs: at decoder scales that made upsampling the most
+expensive op in the model.)
 
-Matrices are cached per (n_in, n_out) and baked into the jitted graph as
-constants.
+Tap tables are cached per (n_in, n_out) and baked into the jitted graph
+as constants.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["interp_matrix", "upsample2x", "resize_bilinear"]
+__all__ = ["interp_matrix", "interp_taps", "upsample2x", "resize_bilinear"]
 
 
 @functools.lru_cache(maxsize=128)
@@ -39,11 +41,29 @@ def interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return A
 
 
-def _apply_axis(x, A: np.ndarray, axis: int):
-    # keep the activation dtype (bf16 chains stay bf16)
-    M = jnp.asarray(A).astype(x.dtype)
+@functools.lru_cache(maxsize=128)
+def interp_taps(n_in: int, n_out: int):
+    """(i0, i1, w) tap tables for align_corners=True interpolation:
+    out[j] = in[i0[j]] * (1 - w[j]) + in[i1[j]] * w[j]."""
+    if n_in == 1 or n_out == 1:
+        z = np.zeros(n_out, np.int32)
+        return z, z, np.zeros(n_out, np.float32)
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, n_in - 2)
+    w = (src - i0).astype(np.float32)
+    return i0, (i0 + 1).astype(np.int32), w
+
+
+def _apply_axis(x, n_out: int, axis: int):
+    """Interpolate along `axis` via the (two-taps-per-row) matrix as a
+    dense matmul — measured faster on the MXU than gather+lerp for the
+    model's decoder shapes. Precision follows nn.config (f32 for parity,
+    bf16 multiplies in the fast modes)."""
+    from vocal_remover_tpu.nn import config
+
+    M = jnp.asarray(interp_matrix(x.shape[axis], n_out)).astype(x.dtype)
     x = jnp.moveaxis(x, axis, -1)
-    y = jnp.matmul(x, M.T, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.matmul(x, M.T, precision=config.get_precision())
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -51,9 +71,9 @@ def resize_bilinear(x, out_h: int, out_w: int):
     """Resize NHWC `x` to (out_h, out_w) with align_corners=True."""
     n, h, w, c = x.shape
     if h != out_h:
-        x = _apply_axis(x, interp_matrix(h, out_h), 1)
+        x = _apply_axis(x, out_h, 1)
     if w != out_w:
-        x = _apply_axis(x, interp_matrix(w, out_w), 2)
+        x = _apply_axis(x, out_w, 2)
     return x
 
 
