@@ -30,7 +30,8 @@ class TrainingSet:
 
     def __init__(self, training_set, cropsize, reduction_rate,
                  reduction_weight, mixup_rate, mixup_alpha, seed=0,
-                 is_complex=False, mono_rate=0.0):
+                 is_complex=False, mono_rate=0.0,
+                 complex_as_channels=True):
         self.training_set = training_set
         self.cropsize = cropsize
         self.reduction_rate = reduction_rate
@@ -38,6 +39,9 @@ class TrainingSet:
         self.mixup_rate = mixup_rate
         self.mixup_alpha = mixup_alpha
         self.is_complex = is_complex
+        # device transfers can't carry complex dtypes: stack re/im as
+        # channels (N, 4, F, T) for the complex training mode
+        self.complex_as_channels = complex_as_channels
         # mono-mix augmentation: dormant in the reference (commented out
         # at lib/dataset.py:81-83); carried here as a real option
         self.mono_rate = mono_rate
@@ -105,6 +109,11 @@ class TrainingSet:
             X, y = self.do_mixup(X, y)
 
         if self.is_complex:
+            if self.complex_as_channels:
+                return (
+                    np.concatenate([X.real, X.imag]).astype(np.float32),
+                    np.concatenate([y.real, y.imag]).astype(np.float32),
+                )
             return X, y
         return np.abs(X).astype(np.float32), np.abs(y).astype(np.float32)
 

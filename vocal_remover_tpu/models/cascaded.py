@@ -169,9 +169,12 @@ class CascadedNet:
 
     def bounded_mask(self, m, eps=1e-8):
         """tanh-bounded complex mask on stacked re/im channels
-        (reference nets.py:119-122)."""
+        (reference nets.py:119-122). The magnitude is computed with a
+        clamped sqrt so the gradient is defined at exact zeros (torch's
+        abs() has the same singularity; the reference never trains this
+        path)."""
         re, im = m[..., :2], m[..., 2:]
-        mag = jnp.sqrt(re * re + im * im)
+        mag = jnp.sqrt(jnp.maximum(re * re + im * im, 1e-24))
         scale = jnp.tanh(mag) / (mag + eps)
         return jnp.concatenate([re * scale, im * scale], axis=-1)
 

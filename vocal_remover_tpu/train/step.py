@@ -82,7 +82,21 @@ class Trainer:
         if not self.dropout:
             rng = None
         mask, new_vars = self.model.apply(variables, Xh, train=True, rng=rng)
-        loss = losses.mask_l1_loss(mask, Xh, yh)
+        if self.model.is_complex:
+            # complex-mask training (the reference only sketched this in
+            # comments, train.py:85-86): pred = mask (*) X as complex
+            # numbers in re/im channel pairs; L1 on magnitudes.
+            mr, mi = mask[..., :2], mask[..., 2:]
+            xr, xi = Xh[..., :2], Xh[..., 2:]
+            pr = mr * xr - mi * xi
+            pi = mr * xi + mi * xr
+            pred_mag = jnp.sqrt(pr * pr + pi * pi + 1e-12)
+            y_mag = jnp.sqrt(
+                yh[..., :2] ** 2 + yh[..., 2:] ** 2 + 1e-12
+            )
+            loss = losses.l1(pred_mag, y_mag)
+        else:
+            loss = losses.mask_l1_loss(mask, Xh, yh)
         _, new_stats = partition(new_vars)
         return loss, new_stats
 
@@ -117,7 +131,18 @@ class Trainer:
         variables = merge(params, stats)
         Xh = jnp.transpose(X, (0, 2, 3, 1))
         yh = jnp.transpose(y, (0, 2, 3, 1))
-        pred = self.model.predict(variables, Xh)
+        if self.model.is_complex:
+            mask = self.model(variables, Xh)
+            mr, mi = mask[..., :2], mask[..., 2:]
+            xr, xi = Xh[..., :2], Xh[..., 2:]
+            pred = jnp.sqrt(
+                (mr * xr - mi * xi) ** 2 + (mr * xi + mi * xr) ** 2 + 1e-12
+            )
+            yh = jnp.sqrt(yh[..., :2] ** 2 + yh[..., 2:] ** 2 + 1e-12)
+            off = self.model.offset
+            pred = pred[:, :, off:-off]
+        else:
+            pred = self.model.predict(variables, Xh)
         # center-crop the target's time axis (axis 2 in NHWC) to the
         # offset-trimmed prediction (reference train.py:124 crop_center)
         t = pred.shape[2]
