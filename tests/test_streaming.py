@@ -38,6 +38,39 @@ def test_streaming_matches_monolithic(small, rng, seconds):
     np.testing.assert_allclose(v, v_ref, atol=3e-4)
 
 
+def test_streaming_pcm16_residual(small, rng):
+    """pcm16 + residual-vocals streaming == the f32 streamed output at
+    PCM16 resolution (and vocals reconstruct the mixture)."""
+    model, variables = small
+    sr = 16000
+    wave = (rng.standard_normal((2, sr * 5)) * 0.3).astype(np.float32)
+    base = StreamingSeparator(model, variables, segment_patches=4,
+                              batchsize=2)
+    # compare against the f32 path fed the PCM16-quantized wave (input
+    # quantization itself perturbs a random-weight model's masks; with
+    # identical inputs the paths agree to the output LSB)
+    wq = (np.round(np.clip(wave, -1, 1 - 1 / 32768.0) * 32768) / 32768
+          ).astype(np.float32)
+    y32, v32 = base.separate_wave(wq)
+
+    fast = StreamingSeparator(model, variables, segment_patches=4,
+                              batchsize=2, pcm16_io=True,
+                              vocals_residual=True)
+    y16, v16 = fast.separate_wave(wave)
+    assert y16.dtype == np.int16
+    np.testing.assert_allclose(
+        y16.astype(np.float32) / 32768.0, y32, atol=2.5 / 32768.0
+    )
+    # y + v reconstructs the quantized mixture exactly (residual def.)
+    w16 = np.round(np.clip(wave, -1, 1 - 1 / 32768.0) * 32768).astype(
+        np.int32
+    )
+    resum = y16.astype(np.int32) + v16.astype(np.int32)
+    np.testing.assert_array_equal(
+        np.clip(resum, -32768, 32767), np.clip(w16, -32768, 32767)
+    )
+
+
 def test_streaming_constant_compile(small, rng):
     """All segments (interior and edges) reuse one compiled function."""
     model, variables = small

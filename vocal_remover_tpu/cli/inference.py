@@ -196,11 +196,12 @@ def _run_single(args, model, variables):
 
         print('separating (streamed segments)...', end=' ')
         stream = StreamingSeparator(model, variables,
-                                    batchsize=args.batchsize)
+                                    batchsize=args.batchsize,
+                                    pcm16_io=True, vocals_residual=True)
         y_wave, v_wave = stream.separate_wave(X)
         print('done')
-        audio.write_wav(inst_path, y_wave, sr)
-        audio.write_wav(vocal_path, v_wave, sr)
+        audio.write_wav(inst_path, y_wave.astype(np.float32) / 32768.0, sr)
+        audio.write_wav(vocal_path, v_wave.astype(np.float32) / 32768.0, sr)
         return
 
     if not args.postprocess and not args.output_image:

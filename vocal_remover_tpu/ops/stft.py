@@ -86,6 +86,15 @@ def _window_sumsquare(
     return out.astype(np.float32)
 
 
+def _device_frame_indices(n_frames: int, n_fft: int, hop_length: int):
+    """Frame gather indices built on device via iota — no O(T*n_fft)
+    host constant baked into the graph (a 10-minute song's index table
+    is ~200 MB, which overflows compile-request limits)."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (n_frames, n_fft), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_frames, n_fft), 1)
+    return t * hop_length + k
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def stft(wave, n_fft: int, hop_length: int):
     """Centered STFT of a real signal.
@@ -102,7 +111,7 @@ def stft(wave, n_fft: int, hop_length: int):
     pad_cfg = [(0, 0)] * (wave.ndim - 1) + [(pad, pad)]
     x = jnp.pad(wave, pad_cfg, mode="reflect")
     n = num_frames(wave.shape[-1], n_fft, hop_length)
-    idx = jnp.asarray(_frame_indices(n, n_fft, hop_length))
+    idx = _device_frame_indices(n, n_fft, hop_length)
     frames = x[..., idx]  # (..., n_frames, n_fft)
     frames = frames * jnp.asarray(hann_window(n_fft))
     spec = jnp.fft.rfft(frames, axis=-1)  # (..., n_frames, n_bins)
@@ -158,12 +167,16 @@ def istft(real, imag, n_fft: int, hop_length: int, length: int | None = None):
         jnp.moveaxis(real, -1, -2), jnp.moveaxis(imag, -1, -2)
     )  # (..., n_frames, n_bins)
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
-    frames = frames * jnp.asarray(hann_window(n_fft))
+    window = jnp.asarray(hann_window(n_fft))
+    frames = frames * window
     y = _overlap_add(frames, n_fft, hop_length)
-    wss = _window_sumsquare(n_frames, n_fft, hop_length)
+    # window-sum-square normalization computed ON DEVICE with the same
+    # overlap-add (data independent but length dependent — a host-side
+    # table would bake an O(length) constant into the graph)
+    w2 = jnp.broadcast_to(window * window, (n_frames, n_fft))
+    wss = _overlap_add(w2, n_fft, hop_length)
     tiny = np.finfo(np.float32).tiny
-    norm = jnp.asarray(np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 0.0))
-    y = y * norm
+    y = jnp.where(wss > tiny, y / jnp.maximum(wss, tiny), y)
     pad = n_fft // 2
     y = y[..., pad : y.shape[-1] - pad]
     if length is not None:

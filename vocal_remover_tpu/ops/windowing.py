@@ -67,9 +67,12 @@ def extract_patches(x, cropsize: int, roi_size: int, offset: int):
         patches = jnp.concatenate([segs[..., :-1, :], segs[..., 1:, :]],
                                   axis=-1)
     else:
-        starts = _patch_starts(n, roi_size)
-        idx = starts[:, None] + np.arange(cropsize)[None, :]  # (n, cropsize)
-        patches = x[..., idx]  # (..., n, cropsize)
+        import jax
+
+        # device-built indices (no O(n*cropsize) host constant)
+        p = jax.lax.broadcasted_iota(jnp.int32, (n, cropsize), 0)
+        k = jax.lax.broadcasted_iota(jnp.int32, (n, cropsize), 1)
+        patches = x[..., p * roi_size + k]  # (..., n, cropsize)
     return jnp.moveaxis(patches, -2, 0)
 
 

@@ -31,11 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vocal_remover_tpu.ops.stft import (
-    _window_sumsquare,
-    hann_window,
-    num_frames,
-)
+from vocal_remover_tpu.ops.stft import hann_window, num_frames
 from vocal_remover_tpu.ops.windowing import extract_patches, stitch_masks
 
 
@@ -44,10 +40,19 @@ class StreamingSeparator:
     (separate-mode normalization: global max |X|; no TTA/postprocess).
     """
 
-    def __init__(self, model, variables, segment_patches=32, batchsize=8):
+    def __init__(self, model, variables, segment_patches=32, batchsize=8,
+                 pcm16_io=False, vocals_residual=False):
+        """pcm16_io: exchange int16 PCM with the device (4x less link
+        traffic; exact for PCM16 sources). vocals_residual: download
+        only instruments and reconstruct vocals host-side as
+        mixture - instruments (halves downloads and skips the vocals
+        iSTFT; exact away from the global half-window edges, like
+        SeparatorService's same option)."""
         self.model = model
         self.variables = jax.device_put(variables)
         self.bs = batchsize
+        self.pcm16_io = pcm16_io
+        self.vocals_residual = vocals_residual
         # K + 2 (owned + halo patches) must fill whole chunks
         self.K = max(
             batchsize - 2,
@@ -83,9 +88,13 @@ class StreamingSeparator:
         n_patches = K + 2
         window = jnp.asarray(hann_window(n_fft))
         emit = K * roi * hop  # OLA positions emitted per segment
+        pcm16 = self.pcm16_io
+        only_y = self.vocals_residual
 
         @jax.jit
-        def run(wave_slice, frame_valid, wss_slice, inv_scale, variables):
+        def run(wave_slice, frame_valid, inv_scale, variables):
+            if pcm16:
+                wave_slice = wave_slice.astype(jnp.float32) / 32768.0
             # frames of the original spectrogram covered by this segment
             idx = (
                 np.arange(seg_frames)[:, None] * hop
@@ -123,18 +132,22 @@ class StreamingSeparator:
             yr, yi = m * xr, m * xi
             vr, vi = (1 - m) * xr, (1 - m) * xi
 
-            def ola(sr_, si_):
-                s = jax.lax.complex(
-                    jnp.moveaxis(sr_, -1, -2), jnp.moveaxis(si_, -1, -2)
-                )
-                fr = jnp.fft.irfft(s, n=n_fft, axis=-1) * window
-                # dense grouped overlap-add over span frames
+            # the global window-sum-square slice for the emitted
+            # positions == local OLA of window^2 over the span's VALID
+            # frames (invalid = global spectrogram padding contributes
+            # no window energy), so it needs no host transfer
+            valid_span = frame_valid[roi + off - 1 : roi + off - 1 + span]
+            w2 = (window * window)[None, :] * valid_span[:, None]
+
+            def ola_frames(fr):
+                """(C, span, n_fft) frames -> OLA positions
+                [hop, hop + emit) relative to frame A-1."""
                 total = n_fft + hop * (span - 1)
-                acc = jnp.zeros((sr_.shape[0], total), jnp.float32)
+                acc = jnp.zeros((fr.shape[0], total), jnp.float32)
                 for g in range(2):  # n_fft/hop == 2 groups
                     f_g = fr[:, g::2]
                     tg = f_g.shape[1]
-                    flat = f_g.reshape(sr_.shape[0], tg * n_fft)
+                    flat = f_g.reshape(fr.shape[0], tg * n_fft)
                     left = g * hop
                     room = total - left
                     if flat.shape[-1] > room:
@@ -143,11 +156,30 @@ class StreamingSeparator:
                         flat = jnp.pad(flat,
                                        ((0, 0), (0, room - flat.shape[-1])))
                     acc = acc + jnp.pad(flat, ((0, 0), (left, 0)))
-                # emit positions [hop, hop + emit) relative to frame A-1
-                return acc[:, hop : hop + emit] / wss_slice
+                return acc[:, hop : hop + emit]
 
-            y = ola(yr, yi)
-            v = ola(vr, vi)
+            wss = ola_frames(w2[None])[0]
+            tiny = np.finfo(np.float32).tiny
+
+            def ola(sr_, si_):
+                s = jax.lax.complex(
+                    jnp.moveaxis(sr_, -1, -2), jnp.moveaxis(si_, -1, -2)
+                )
+                fr = jnp.fft.irfft(s, n=n_fft, axis=-1) * window
+                acc = ola_frames(fr)
+                return jnp.where(wss > tiny, acc / jnp.maximum(wss, tiny),
+                                 acc)
+
+            def quant(wv):
+                if not pcm16:
+                    return wv
+                wv = jnp.clip(wv, -1.0, 1.0 - 1.0 / 32768.0)
+                return jnp.round(wv * 32768.0).astype(jnp.int16)
+
+            y = quant(ola(yr, yi))
+            if only_y:
+                return (y,)
+            v = quant(ola(vr, vi))
             return y, v
 
         return run
@@ -167,9 +199,10 @@ class StreamingSeparator:
         return wave[:, idx]
 
     def separate_wave(self, wave: np.ndarray):
-        """(2, L) float32 -> (instruments, vocals), streaming segments.
+        """(2, L) wave -> (instruments, vocals), streaming segments.
         Matches Separator.separate_wave (non-TTA) within float tolerance
-        for any length."""
+        for any length. With pcm16_io, takes float or int16 input and
+        returns int16 PCM."""
         (n_fft, hop, K, roi, off, crop, pad, seg_frames,
          slice_len) = self._geometry()
         L = wave.shape[-1]
@@ -177,20 +210,56 @@ class StreamingSeparator:
         n_valid = -(-n_frame // roi) * roi  # frames covered by patches
         n_segments = -(-n_valid // (K * roi))
 
-        # pass 1: global max |X| (reference inference.py:74) — stream the
-        # magnitudes segment-wise on device? cheap enough on host via the
-        # same framing in chunks.
-        inv_scale = np.float32(1.0 / self._global_mag_max(wave))
+        if self.pcm16_io and wave.dtype != np.int16:
+            from vocal_remover_tpu import native
+
+            enc = native.pcm16_encode(np.ascontiguousarray(wave, np.float32))
+            if enc is None:
+                enc = np.round(
+                    np.clip(wave, -1, 1 - 1 / 32768.0) * 32768.0
+                ).astype(np.int16)
+            wave_x = enc
+        elif not self.pcm16_io:
+            wave_x = np.ascontiguousarray(wave, np.float32)
+        else:
+            wave_x = wave
+
+        # pass 1: global max |X| (reference inference.py:74), streamed
+        # (chunk-wise; int16 input is dequantized per chunk)
+        inv_scale = np.float32(1.0 / self._global_mag_max(wave_x))
 
         run = self._segment_fn()
-        wss = _window_sumsquare(n_frame, n_fft, hop)
-        tiny = np.finfo(np.float32).tiny
-        wss = np.where(wss > tiny, wss, 1.0).astype(np.float32)
 
-        y_out = np.zeros((2, L), np.float32)
-        v_out = np.zeros((2, L), np.float32)
+        out_dtype = np.int16 if self.pcm16_io else np.float32
+        y_out = np.zeros((2, L), out_dtype)
+        v_out = np.zeros((2, L), out_dtype)
         emit = K * roi * hop
+        wave = wave_x  # device windows come from the (maybe int16) wave
 
+        def drain(item):
+            p0, outs = item
+            y_seg = outs[0]
+            # output samples [p0 - pad, p0 - pad + emit)
+            s0 = p0 - pad
+            src0 = max(0, -s0)
+            dst0 = max(0, s0)
+            n_copy = min(emit - src0, L - dst0)
+            if n_copy <= 0:
+                return
+            y_host = np.asarray(y_seg[:, src0 : src0 + n_copy])
+            y_out[:, dst0 : dst0 + n_copy] = y_host
+            if len(outs) > 1:
+                v_out[:, dst0 : dst0 + n_copy] = np.asarray(
+                    outs[1][:, src0 : src0 + n_copy]
+                )
+            else:  # vocals by residual: mixture - instruments
+                x_host = wave[:, dst0 : dst0 + n_copy]
+                vv = x_host.astype(np.int32) - y_host.astype(np.int32)
+                v_out[:, dst0 : dst0 + n_copy] = np.clip(
+                    vv, -32768, 32767
+                ).astype(np.int16)
+
+        pending = None  # drain segment k-1 while the device runs k
         for k in range(n_segments):
             a = k * K  # first owned patch
             # segment frames (original coords): [(a-1)*roi - off, ...)
@@ -204,32 +273,23 @@ class StreamingSeparator:
 
             # OLA positions emitted: [A*hop, B*hop), A = a*roi
             p0 = a * roi * hop
-            wss_seg = np.ones(emit, np.float32)
-            n_avail = min(emit, len(wss) - p0) if p0 < len(wss) else 0
-            if n_avail > 0:
-                wss_seg[:n_avail] = wss[p0 : p0 + n_avail]
-
-            y_seg, v_seg = run(win, valid, wss_seg, inv_scale,
-                               self.variables)
-            # output samples [p0 - pad, p0 - pad + emit)
-            s0 = p0 - pad
-            src0 = max(0, -s0)
-            dst0 = max(0, s0)
-            n_copy = min(emit - src0, L - dst0)
-            if n_copy > 0:
-                y_out[:, dst0 : dst0 + n_copy] = np.asarray(
-                    y_seg[:, src0 : src0 + n_copy]
-                )
-                v_out[:, dst0 : dst0 + n_copy] = np.asarray(
-                    v_seg[:, src0 : src0 + n_copy]
-                )
+            outs = run(win, valid, inv_scale,
+                       self.variables)  # async dispatch
+            if pending is not None:
+                drain(pending)
+            pending = (p0, outs)
+        if pending is not None:
+            drain(pending)
         # the centered iSTFT's natural length is hop*(n_frame-1); the
         # monolithic path zero-pads beyond it (ops/stft.py istft length
         # handling) — reproduce that tail exactly
         natural = hop * (n_frame - 1)
         if natural < L:
-            y_out[:, natural:] = 0.0
-            v_out[:, natural:] = 0.0
+            y_out[:, natural:] = 0
+            if self.vocals_residual:  # v = mixture - 0 there
+                v_out[:, natural:] = wave[:, natural:]
+            else:
+                v_out[:, natural:] = 0
         return y_out, v_out
 
     def _global_mag_max(self, wave, chunk_frames=4096):
@@ -245,6 +305,8 @@ class StreamingSeparator:
             t1 = min(t0 + chunk_frames, n_frame)
             lo = t0 * hop - pad
             win = self._wave_window(wave, lo, (t1 - 1) * hop - pad + n_fft)
+            if win.dtype == np.int16:
+                win = win.astype(np.float32) / 32768.0
             idx = (
                 np.arange(t1 - t0)[:, None] * hop
                 + np.arange(n_fft)[None, :]
