@@ -166,6 +166,58 @@ def test_loader_propagates_worker_errors():
         list(loader)
 
 
+def test_loader_determinism_across_worker_counts(song_dir):
+    """Same seed => identical epoch batches for any num_workers: item
+    randomness is a pure function of (seed, epoch, idx), never shared
+    generator state (the torch-DataLoader analog can't promise this)."""
+    root, sr = song_dir
+    pairs = pairing.make_pair(str(root / "mixtures"), str(root / "instruments"))
+    tset = cache.make_training_set(pairs, sr, 128, 256)
+
+    def epochs(num_workers, n_epochs=2):
+        ds = dataset.TrainingSet(
+            tset * 4, cropsize=32, reduction_rate=0.5,
+            reduction_weight=np.linspace(1, 0, 129,
+                                         dtype=np.float32)[:, None],
+            mixup_rate=0.5, mixup_alpha=1.0, seed=7,
+        )
+        loader = Loader(ds, batchsize=5, shuffle=True,
+                        num_workers=num_workers, seed=7)
+        return [list(loader) for _ in range(n_epochs)]
+
+    a, b = epochs(1), epochs(4)
+    for ep_a, ep_b in zip(a, b):
+        assert len(ep_a) == len(ep_b)
+        for (Xa, ya), (Xb, yb) in zip(ep_a, ep_b):
+            np.testing.assert_array_equal(Xa, Xb)
+            np.testing.assert_array_equal(ya, yb)
+    # epochs see different draws
+    assert not np.array_equal(a[0][0][0], a[1][0][0])
+
+
+def test_fast_path_matches_general_path(song_dir):
+    """The native/magnitude fast path must produce the same items as the
+    general complex path (same rng draw order, same values)."""
+    root, sr = song_dir
+    pairs = pairing.make_pair(str(root / "mixtures"), str(root / "instruments"))
+    tset = cache.make_training_set(pairs, sr, 128, 256)
+    ds = dataset.TrainingSet(
+        tset * 2, cropsize=32, reduction_rate=0, reduction_weight=None,
+        mixup_rate=0, mixup_alpha=1, seed=3,
+    )
+    items_fast = [ds[i] for i in range(len(ds.training_set))]
+    # force the general path by a reduction_rate that never fires but
+    # disables the fast path
+    ds2 = dataset.TrainingSet(
+        tset * 2, cropsize=32, reduction_rate=-1.0, reduction_weight=None,
+        mixup_rate=0, mixup_alpha=1, seed=3,
+    )
+    for i, (Xf, yf) in enumerate(items_fast):
+        Xg, yg = ds2[i]
+        np.testing.assert_allclose(Xf, Xg, atol=1e-6)
+        np.testing.assert_allclose(yf, yg, atol=1e-6)
+
+
 def test_get_oracle_data(rng):
     X = rng.standard_normal((10, 3))
     y = rng.standard_normal((10, 3))

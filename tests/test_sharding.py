@@ -100,6 +100,140 @@ def test_sequence_parallel_separation(tiny):
     np.testing.assert_allclose(v8, v1, atol=2e-4)
 
 
+
+@pytest.fixture
+def x64_mode():
+    """float64 everywhere: in f32, different mesh layouts change
+    reduction orders by ~1e-7, Leaky/ReLU branch flips amplify that to
+    percent-level gradient noise, and no tight comparison is possible.
+    In f64 the flips vanish and layout equivalence is checked to ~1e-9."""
+    import jax.numpy as jnp
+
+    from vocal_remover_tpu.nn import config as nn_config
+
+    jax.config.update("jax_enable_x64", True)
+    nn_config.set_compute_dtype(jnp.float64)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+        nn_config.set_compute_dtype(jnp.float32)
+
+
+def _to64(tree):
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64), tree
+    )
+
+
+def _assert_grads_close(g_a, g_b):
+    """Tight f64 gradient equivalence across mesh layouts."""
+    la = jax.tree_util.tree_leaves(g_a)
+    lb = jax.tree_util.tree_leaves(g_b)
+    scale = max(np.abs(b).max() for b in lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(a, b, atol=1e-9 * scale, rtol=1e-7)
+
+
+def test_data_parallel_gradients_match_single_device(tiny, x64_mode):
+    """Pre-Adam gradients are EXACT (f64: to ~1e-9) between the dp mesh
+    and a single device — the statistical post-Adam comparison above
+    exists only because Adam sign-flips ~zero grads in f32."""
+    model, variables, X, y = tiny
+    variables, X, y = _to64(variables), _to64(X), _to64(y)
+    mesh = mesh_lib.make_mesh()
+    t_dp = Trainer(model, variables, learning_rate=1e-3, mesh=mesh,
+                   dropout=False)
+    t_sd = Trainer(model, variables, learning_rate=1e-3, dropout=False)
+    l_dp, g_dp = t_dp.compute_grads(X, y)
+    l_sd, g_sd = t_sd.compute_grads(X, y)
+    assert abs(l_dp - l_sd) < 1e-6
+    _assert_grads_close(g_dp, g_sd)
+
+
+def test_tp_policy_specs(tiny):
+    """The TP policy shards conv HWIO out-channels + their BN vectors
+    and replicates everything else (incl. non-divisible shapes)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vocal_remover_tpu.parallel import policy
+
+    model, variables, _, _ = tiny
+    mesh = mesh_lib.make_mesh(n_data=1, n_model=2)
+    tree = policy.shard_variables(mesh, variables)
+
+    specs = {}
+
+    def record(path, leaf):
+        keys = tuple(
+            p.key if hasattr(p, "key") else p for p in path
+        )
+        specs[keys] = leaf.sharding.spec
+        return leaf
+
+    jax.tree_util.tree_map_with_path(record, tree)
+    def uses_model(spec):
+        return any(
+            e == "model" or (isinstance(e, tuple) and "model" in e)
+            for e in spec
+        )
+
+    n_sharded = sum(1 for s in specs.values() if uses_model(s))
+    assert n_sharded > 20  # most conv kernels + bn vectors
+    for keys, spec in specs.items():
+        if keys[-1] == "conv":
+            assert spec in (P(None, None, None, "model"), P()), keys
+        if len(keys) >= 2 and keys[-2] == "bn":
+            assert spec in (P("model"), P()), keys
+        if "lstm" in keys or "dense" in keys:
+            assert spec == P(), keys  # replicated
+
+
+def test_tensor_parallel_gradients_match_single_device(tiny, x64_mode):
+    """TP (model axis 2): each conv output channel is computed wholly on
+    one device, so gradients match single-device tightly."""
+    model, variables, X, y = tiny
+    variables, X, y = _to64(variables), _to64(X), _to64(y)
+    mesh = mesh_lib.make_mesh(n_data=1, n_model=2)
+    t_tp = Trainer(model, variables, learning_rate=1e-3, mesh=mesh,
+                   dropout=False)
+    t_sd = Trainer(model, variables, learning_rate=1e-3, dropout=False)
+    # policy actually sharded something
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(t_tp.params)
+        if not l.sharding.is_fully_replicated
+    ]
+    assert len(sharded) > 10
+    l_tp, g_tp = t_tp.compute_grads(X, y)
+    l_sd, g_sd = t_sd.compute_grads(X, y)
+    assert abs(l_tp - l_sd) < 1e-6
+    _assert_grads_close(g_tp, g_sd)
+
+
+def test_dp_x_tp_step_matches_single_device(tiny):
+    """Full fused update on a (4 data x 2 model) mesh: loss matches and
+    Adam-updated params agree except for sign-flips on ~zero grads."""
+    model, variables, X, y = tiny
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    t_mx = Trainer(model, variables, learning_rate=1e-3, mesh=mesh,
+                   dropout=False)
+    t_sd = Trainer(model, variables, learning_rate=1e-3, dropout=False)
+    l_mx = t_mx.train_epoch([(X, y)])
+    l_sd = t_sd.train_epoch([(X, y)])
+    assert abs(l_mx - l_sd) < 1e-5
+    lr = 1e-3
+    n_big, n_total = 0, 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_mx.params),
+        jax.tree_util.tree_leaves(t_sd.params),
+    ):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() <= 2.5 * lr
+        n_big += int((diff > 2e-5).sum())
+        n_total += diff.size
+    assert n_big / n_total < 0.02
+
+
 def test_dryrun_multichip_entry():
     import sys
 

@@ -42,10 +42,11 @@ def _soundstretch(wave, sr, pitch):
         src = os.path.join(td, 'in.wav')
         dst = os.path.join(td, 'out.wav')
         audio.write_wav(src, wave, sr)
-        subprocess.call(
+        subprocess.run(
             ['soundstretch', src, dst, f'-pitch={pitch}'],
             stderr=subprocess.DEVNULL,
-        )
+            check=True,  # a failed shift must not silently produce
+        )                # an empty/stale cache entry
         out, _ = audio.load(dst, sr=sr, mono=False)
     if out.ndim == 1:
         out = np.stack([out, out])

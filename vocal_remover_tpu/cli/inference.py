@@ -13,9 +13,19 @@ Differences by design:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
+import time
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def _stage(label: str):
+    """Timed progress line per pipeline stage."""
+    t0 = time.perf_counter()
+    yield
+    print(f"  {label}: {time.perf_counter() - t0:.2f}s", flush=True)
 
 
 MODEL_DIR = os.path.join(
@@ -136,11 +146,10 @@ def main(argv=None):
     nn_config.set_precision(args.precision)
     nn_config.set_lstm_impl(args.lstm_impl)
 
-    print('loading model...', end=' ')
-    model, variables = convert.load_model(
-        args.pretrained_model, args.n_fft, args.hop_length, 32, 128
-    )
-    print('done')
+    with _stage('load model'):
+        model, variables = convert.load_model(
+            args.pretrained_model, args.n_fft, args.hop_length, 32, 128
+        )
 
     if args.profile is not None:
         import jax
@@ -163,10 +172,9 @@ def _run_single(args, model, variables):
     from vocal_remover_tpu.separate.separator import Separator
     from vocal_remover_tpu.utils import audio, image, spec
 
-    print('loading wave source...', end=' ')
-    X, sr = audio.load(args.input, sr=args.sr, mono=False)
+    with _stage('load audio'):
+        X, sr = audio.load(args.input, sr=args.sr, mono=False)
     basename = os.path.splitext(os.path.basename(args.input))[0]
-    print('done')
 
     if X.ndim == 1:
         X = np.asarray([X, X])  # mono to stereo
@@ -179,12 +187,10 @@ def _run_single(args, model, variables):
         postprocess=args.postprocess,
     )
 
-    print('validating output directory...', end=' ')
     output_dir = args.output_dir
     if output_dir != "":
         output_dir = output_dir.rstrip('/') + '/'
         os.makedirs(output_dir, exist_ok=True)
-    print('done')
 
     inst_path = '{}{}_Instruments.wav'.format(output_dir, basename)
     vocal_path = '{}{}_Vocals.wav'.format(output_dir, basename)
@@ -194,12 +200,11 @@ def _run_single(args, model, variables):
             and not args.postprocess and not args.output_image:
         from vocal_remover_tpu.separate.streaming import StreamingSeparator
 
-        print('separating (streamed segments)...', end=' ')
-        stream = StreamingSeparator(model, variables,
-                                    batchsize=args.batchsize,
-                                    pcm16_io=True, vocals_residual=True)
-        y_wave, v_wave = stream.separate_wave(X)
-        print('done')
+        with _stage('separate (streamed segments)'):
+            stream = StreamingSeparator(model, variables,
+                                        batchsize=args.batchsize,
+                                        pcm16_io=True, vocals_residual=True)
+            y_wave, v_wave = stream.separate_wave(X)
         audio.write_wav(inst_path, y_wave.astype(np.float32) / 32768.0, sr)
         audio.write_wav(vocal_path, v_wave.astype(np.float32) / 32768.0, sr)
         return
@@ -207,31 +212,28 @@ def _run_single(args, model, variables):
     if not args.postprocess and not args.output_image:
         # pure-device fast path: STFT -> model -> mask -> iSTFT in one
         # jitted call, PCM16 exchanged with the host
-        print('separating (device pipeline)...', end=' ')
-        y_wave, v_wave = sp.separate_wave(X, tta=args.tta, pcm16_io=True)
-        print('done')
+        with _stage('separate (device pipeline)'):
+            y_wave, v_wave = sp.separate_wave(X, tta=args.tta, pcm16_io=True)
         audio.write_wav(inst_path, y_wave.astype(np.float32) / 32768.0, sr)
         audio.write_wav(vocal_path, v_wave.astype(np.float32) / 32768.0, sr)
         return
 
-    print('stft of wave source...', end=' ')
-    X_spec = stft_ops.stft_np(X, args.n_fft, args.hop_length)
-    print('done')
+    with _stage('stft'):
+        X_spec = stft_ops.stft_np(X, args.n_fft, args.hop_length)
 
-    if args.tta:
-        y_spec, v_spec = sp.separate_tta(X_spec)
-    else:
-        y_spec, v_spec = sp.separate(X_spec)
+    with _stage('separate'):
+        if args.tta:
+            y_spec, v_spec = sp.separate_tta(X_spec)
+        else:
+            y_spec, v_spec = sp.separate(X_spec)
 
-    print('inverse stft of instruments...', end=' ')
-    wave = stft_ops.istft_np(y_spec, args.n_fft, args.hop_length)
-    print('done')
-    audio.write_wav(inst_path, wave, sr)
+    with _stage('istft + write instruments'):
+        wave = stft_ops.istft_np(y_spec, args.n_fft, args.hop_length)
+        audio.write_wav(inst_path, wave, sr)
 
-    print('inverse stft of vocals...', end=' ')
-    wave = stft_ops.istft_np(v_spec, args.n_fft, args.hop_length)
-    print('done')
-    audio.write_wav(vocal_path, wave, sr)
+    with _stage('istft + write vocals'):
+        wave = stft_ops.istft_np(v_spec, args.n_fft, args.hop_length)
+        audio.write_wav(vocal_path, wave, sr)
 
     if args.output_image:
         img = spec.spectrogram_to_image(y_spec)

@@ -43,42 +43,35 @@ def main(argv=None):
     from vocal_remover_tpu.utils import audio
     from vocal_remover_tpu.utils.spec import align_wave_head_and_tail
 
-    print('loading model...', end=' ')
     model, variables = convert.load_model(
         args.pretrained_model, args.n_fft, args.hop_length
     )
-    print('done')
 
     os.makedirs(args.output_dir, exist_ok=True)
     sp = Separator(model, variables, args.batchsize, args.cropsize,
                    args.postprocess)
 
     filelist = pairing.make_pair(args.mixtures, args.instruments)
-    for mix_path, inst_path in filelist:
+    for n, (mix_path, inst_path) in enumerate(filelist):
         basename = os.path.splitext(os.path.basename(mix_path))[0]
-        print(basename)
+        print(f"[{n + 1}/{len(filelist)}] {basename}", flush=True)
 
-        print('loading wave source...', end=' ')
         X, sr = audio.load(mix_path, sr=args.sr, mono=False)
         y, sr = audio.load(inst_path, sr=args.sr, mono=False)
-        print('done')
 
         if X.ndim == 1:
             X = np.stack([X, X])
         if y.ndim == 1:
             y = np.stack([y, y])
 
-        print('stft of wave source...', end=' ')
         X, y = align_wave_head_and_tail(X, y, sr)
         X = stft_np(X, args.n_fft, args.hop_length)
         y = stft_np(y, args.n_fft, args.hop_length)
-        print('done')
 
+        # TTA-separate the vocal spectrogram; the recovered instrumental
+        # residue augments the true instrumental as the pseudo label
         a_spec, _ = sp.separate_tta(X - y)
-
-        print('saving pseudo instruments...', end=' ')
         pseudo_inst = y + a_spec
-        print('done')
 
         audio.write_wav(
             os.path.join(args.output_dir,

@@ -53,6 +53,12 @@ def build_parser():
                    help='mono-mix augmentation probability (dormant in '
                         'the reference: lib/dataset.py:81-83)')
     p.add_argument('--pretrained_model', '-P', type=str, default=None)
+    p.add_argument('--is_complex', action='store_true',
+                   help='complex-mask training: re/im channel pairs, '
+                        'tanh-bounded complex masks (the reference '
+                        'sketches this dormant at nets.py:83-84, '
+                        'train.py:85-86; first-class here, end-to-end '
+                        'through Separator)')
     p.add_argument('--debug', action='store_true')
     # TPU-native extensions
     p.add_argument('--data_parallel', type=int, default=1,
@@ -61,12 +67,13 @@ def build_parser():
                    help='full train-state checkpoint to resume from')
     p.add_argument('--precision', type=str, default='highest',
                    choices=['highest', 'default'])
-    p.add_argument('--transfer_dtype', type=str, default='bfloat16',
+    p.add_argument('--transfer_dtype', type=str, default=None,
                    choices=['float32', 'bfloat16'],
                    help='dtype for host->device batch staging (bf16 '
                         'halves link traffic; loss is computed in f32 '
-                        'after an on-device upcast - measured identical '
-                        'loss, 3x faster steps on this host)')
+                        'after an on-device upcast). Default: float32 '
+                        'under --precision highest (f32-faithful mode '
+                        'must not truncate inputs), bfloat16 otherwise.')
     p.add_argument('--output_dir', type=str, default='models')
     return p
 
@@ -77,8 +84,11 @@ def reduction_weight_ramp(n_fft: int, sr: int, reduction_level: float):
     scaled by reduction_level. Shape (bins, 1)."""
     bins = n_fft // 2 + 1
     freq_to_bin = 2 * bins / sr
-    unstable_bins = int(200 * freq_to_bin)
-    stable_bins = int(22050 * freq_to_bin)
+    # clamp to the spectrum: identity at the reference's 44.1k default
+    # (stable == bins there), required for lower sample rates where
+    # 22050 Hz exceeds Nyquist (the reference crashes then)
+    unstable_bins = min(int(200 * freq_to_bin), bins)
+    stable_bins = min(int(22050 * freq_to_bin), bins)
     arr = np.concatenate([
         np.linspace(0, 1, unstable_bins, dtype=np.float32)[:, None],
         np.linspace(1, 0, stable_bins - unstable_bins,
@@ -94,6 +104,7 @@ def main(argv=None):
 
     from vocal_remover_tpu.data import cache, dataset, pairing
     from vocal_remover_tpu.data.loader import Loader
+    from vocal_remover_tpu.parallel import distributed
     from vocal_remover_tpu.models import CascadedNet, convert
     from vocal_remover_tpu.nn import config as nn_config
     from vocal_remover_tpu.parallel import mesh as mesh_lib
@@ -106,6 +117,7 @@ def main(argv=None):
     logger = setup_logger(__name__, f'train_{timestamp}.log')
     logger.debug(vars(args))
     nn_config.set_precision(args.precision)
+    distributed.initialize()  # no-op single-host; TPU-VM auto multi-host
 
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -141,7 +153,8 @@ def main(argv=None):
         args.n_fft, args.sr, args.reduction_level
     )
 
-    model = CascadedNet(args.n_fft, args.hop_length, 32, 128)
+    model = CascadedNet(args.n_fft, args.hop_length, 32, 128,
+                        is_complex=args.is_complex)
     if args.pretrained_model is not None:
         variables = convert.load_checkpoint(args.pretrained_model, model)
     else:
@@ -155,6 +168,13 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    transfer_dtype = args.transfer_dtype
+    if transfer_dtype is None:
+        transfer_dtype = (
+            'float32' if args.precision == 'highest' else 'bfloat16'
+        )
+    logger.info(f'batch staging dtype: {transfer_dtype}')
+
     trainer = Trainer(
         model,
         variables,
@@ -162,7 +182,7 @@ def main(argv=None):
         accumulation_steps=args.accumulation_steps,
         mesh=mesh,
         seed=args.seed,
-        transfer_dtype=(jnp.bfloat16 if args.transfer_dtype == 'bfloat16'
+        transfer_dtype=(jnp.bfloat16 if transfer_dtype == 'bfloat16'
                         else None),
     )
     scheduler = ReduceLROnPlateau(
@@ -172,6 +192,16 @@ def main(argv=None):
         threshold=1e-6,
         min_lr=args.lr_min,
     )
+
+    # multi-host: each host caches/augments a disjoint stride of the
+    # songs (decorrelated crops via host_seed); the global batch is
+    # still mesh-sharded per step
+    _, n_hosts = distributed.process_info()
+    if n_hosts > 1:
+        train_filelist = distributed.shard_filelist(train_filelist)
+        logger.info(
+            f'host shard: {len(train_filelist)} songs on this host'
+        )
 
     training_set = cache.make_training_set(
         filelist=train_filelist,
@@ -188,13 +218,15 @@ def main(argv=None):
         mixup_alpha=args.mixup_alpha,
         seed=args.seed,
         mono_rate=args.mono_rate,
+        is_complex=args.is_complex,
     )
     train_loader = Loader(
         train_dataset,
         batchsize=args.batchsize,
         shuffle=True,
         num_workers=args.num_workers,
-        seed=args.seed,
+        seed=(distributed.host_seed(args.seed) if n_hosts > 1
+              else args.seed),
     )
 
     patch_list = dataset.make_validation_set(
@@ -205,7 +237,8 @@ def main(argv=None):
         n_fft=args.n_fft,
         offset=model.offset,
     )
-    val_dataset = dataset.ValidationSet(patch_list=patch_list)
+    val_dataset = dataset.ValidationSet(patch_list=patch_list,
+                                        is_complex=args.is_complex)
     val_loader = Loader(
         val_dataset,
         batchsize=args.val_batchsize,

@@ -7,8 +7,12 @@ the same probabilities/distributions — reorganized as plain-Python
 samplers (no torch DataLoader): a `Loader` (loader.py) drives them with
 worker threads and feeds jitted device steps.
 
-Each dataset instance owns a numpy Generator seeded explicitly, so runs
-are reproducible without global RNG state.
+Randomness is derived per item: every `__getitem__(idx)` builds its own
+`np.random.Generator` seeded from (seed, epoch, idx). This makes the
+augmentation stream (a) thread-safe — Loader workers never share
+generator state — and (b) reproducible: the same seed yields identical
+epoch batches for ANY worker count. Call `set_epoch(e)` (the Loader
+does) to advance the crop/augmentation draws between epochs.
 """
 
 from __future__ import annotations
@@ -45,14 +49,22 @@ class TrainingSet:
         # mono-mix augmentation: dormant in the reference (commented out
         # at lib/dataset.py:81-83); carried here as a real option
         self.mono_rate = mono_rate
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
 
     def __len__(self):
         return len(self.training_set)
 
-    def do_crop(self, X_path, y_path):
+    def set_epoch(self, epoch: int):
+        """Advance the per-item RNG stream (new crops/augs each epoch)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng((0x5EED, self.seed, self._epoch, idx))
+
+    def do_crop(self, X_path, y_path, rng):
         n_frames = cache.read_npy_shape(X_path)[0]
-        start = int(self.rng.integers(0, n_frames - self.cropsize))
+        start = int(rng.integers(0, n_frames - self.cropsize))
         X = cache.read_npy_rows(X_path, start, self.cropsize)
         y = cache.read_npy_rows(y_path, start, self.cropsize)
         # (T, 2, F) rows -> (2, F, T)
@@ -69,44 +81,83 @@ class TrainingSet:
         y_mag = np.clip(y_mag - v_mag * self.reduction_weight, 0, np.inf)
         return y_mag * np.exp(1.0j * np.angle(y))
 
-    def do_aug(self, X, y):
-        if self.rng.uniform() < self.reduction_rate:
+    def do_aug(self, X, y, rng):
+        if rng.uniform() < self.reduction_rate:
             y = self.aggressively_remove_vocal(X, y)
 
-        if self.rng.uniform() < 0.5:  # stereo channel swap
+        if rng.uniform() < 0.5:  # stereo channel swap
             X = X[::-1].copy()
             y = y[::-1].copy()
 
-        if self.rng.uniform() < 0.01:  # instrumental as mixture
+        if rng.uniform() < 0.01:  # instrumental as mixture
             X = y.copy()
 
-        if self.mono_rate > 0 and self.rng.uniform() < self.mono_rate:
+        if self.mono_rate > 0 and rng.uniform() < self.mono_rate:
             X = np.broadcast_to(X.mean(axis=0, keepdims=True), X.shape).copy()
             y = np.broadcast_to(y.mean(axis=0, keepdims=True), y.shape).copy()
 
         return X, y
 
-    def do_mixup(self, X, y):
-        idx = int(self.rng.integers(0, len(self)))
+    def do_mixup(self, X, y, rng):
+        idx = int(rng.integers(0, len(self)))
         X_path, y_path, coef = self.training_set[idx]
-        X_i, y_i = self.do_crop(X_path, y_path)
+        X_i, y_i = self.do_crop(X_path, y_path, rng)
         X_i = X_i / coef
         y_i = y_i / coef
-        X_i, y_i = self.do_aug(X_i, y_i)
+        X_i, y_i = self.do_aug(X_i, y_i, rng)
 
-        lam = self.rng.beta(self.mixup_alpha, self.mixup_alpha)
+        lam = rng.beta(self.mixup_alpha, self.mixup_alpha)
         X = lam * X + (1 - lam) * X_i
         y = lam * y + (1 - lam) * y_i
         return X, y
 
-    def __getitem__(self, idx):
+    def _magnitude_fast_path(self, idx, rng):
+        """Magnitude items with no complex-valued augs pending: fused
+        C read (seek + |z|/coef in one pass, native/vrtnative.c) with
+        the SAME rng draw order as the general path, so toggling the
+        accelerator never changes which augmentations a run sees."""
         X_path, y_path, coef = self.training_set[idx % len(self.training_set)]
-        X, y = self.do_crop(X_path, y_path)
+        n_frames = cache.read_npy_shape(X_path)[0]
+        start = int(rng.integers(0, n_frames - self.cropsize))
+
+        from vocal_remover_tpu import native
+
+        X = native.load_crop_abs(X_path, start, self.cropsize, coef)
+        y = None
+        if X is not None:
+            y = native.load_crop_abs(y_path, start, self.cropsize, coef)
+        if X is None or y is None:  # extension unavailable: numpy
+            Xc = cache.read_npy_rows(X_path, start, self.cropsize)
+            yc = cache.read_npy_rows(y_path, start, self.cropsize)
+            X = (np.abs(Xc.transpose(1, 2, 0)) / coef).astype(np.float32)
+            y = (np.abs(yc.transpose(1, 2, 0)) / coef).astype(np.float32)
+
+        rng.uniform()  # reduction draw (reduction_rate == 0 here)
+        if rng.uniform() < 0.5:  # stereo channel swap
+            X = np.ascontiguousarray(X[::-1])
+            y = np.ascontiguousarray(y[::-1])
+        if rng.uniform() < 0.01:  # instrumental as mixture
+            X = y.copy()
+        rng.uniform()  # mixup draw (mixup_rate == 0 here)
+        return X, y
+
+    def __getitem__(self, idx):
+        rng = self._item_rng(idx)
+        if (
+            not self.is_complex
+            and self.reduction_rate == 0
+            and self.mixup_rate == 0
+            and self.mono_rate == 0
+        ):
+            return self._magnitude_fast_path(idx, rng)
+
+        X_path, y_path, coef = self.training_set[idx % len(self.training_set)]
+        X, y = self.do_crop(X_path, y_path, rng)
         X = X / coef
         y = y / coef
-        X, y = self.do_aug(X, y)
-        if self.rng.uniform() < self.mixup_rate:
-            X, y = self.do_mixup(X, y)
+        X, y = self.do_aug(X, y, rng)
+        if rng.uniform() < self.mixup_rate:
+            X, y = self.do_mixup(X, y, rng)
 
         if self.is_complex:
             if self.complex_as_channels:
@@ -122,9 +173,11 @@ class ValidationSet:
     """Fixed validation windows persisted as .npz patches
     (reference lib/dataset.py:123-141)."""
 
-    def __init__(self, patch_list, is_complex=False):
+    def __init__(self, patch_list, is_complex=False,
+                 complex_as_channels=True):
         self.patch_list = patch_list
         self.is_complex = is_complex
+        self.complex_as_channels = complex_as_channels
 
     def __len__(self):
         return len(self.patch_list)
@@ -133,6 +186,11 @@ class ValidationSet:
         data = np.load(self.patch_list[idx])
         X, y = data["X"], data["y"]
         if self.is_complex:
+            if self.complex_as_channels:  # (4, F, T) float for device
+                return (
+                    np.concatenate([X.real, X.imag]).astype(np.float32),
+                    np.concatenate([y.real, y.imag]).astype(np.float32),
+                )
             return X, y
         return np.abs(X).astype(np.float32), np.abs(y).astype(np.float32)
 

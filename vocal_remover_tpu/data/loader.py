@@ -27,6 +27,7 @@ class Loader:
         self.epoch_multiplier = epoch_multiplier
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset) * self.epoch_multiplier
@@ -50,6 +51,13 @@ class Loader:
             yield b
 
     def __iter__(self):
+        # advance the dataset's per-item RNG stream: epoch e draws are a
+        # pure function of (seed, e, idx), so batches are identical for
+        # any num_workers (see dataset.TrainingSet._item_rng)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -152,7 +152,8 @@ class CascadedNet:
 
     def _head(self, kernel, feat):
         prec = jax.lax.Precision.HIGHEST
-        feat = feat.astype(jnp.float32)  # mask head always f32
+        if feat.dtype != jnp.float64:  # f64 only in x64 parity-test mode
+            feat = feat.astype(jnp.float32)  # mask head always f32
         m = jax.lax.conv_general_dilated(
             feat, kernel, (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,

@@ -89,7 +89,16 @@ def load_checkpoint(path: str, model):
     """Load either a native `.npz`/`.vrt.npz` or a torch `.pth`
     checkpoint into `model`'s variables pytree."""
     if path.endswith((".npz",)):
-        variables, _ = load_native(path)
+        variables, config = load_native(path)
+        for key in ("is_complex", "n_fft", "nout"):
+            want = getattr(model, key, None)
+            have = config.get(key)
+            if have is not None and want is not None and have != want:
+                raise ValueError(
+                    f"checkpoint {path!r} was trained with {key}={have} "
+                    f"but the model is configured with {key}={want} "
+                    "(pass the matching flags, e.g. --is_complex)"
+                )
         return jax.tree_util.tree_map(np.asarray, variables)
     return model.from_torch(_torch_state_np(path))
 

@@ -61,10 +61,12 @@ def get_compute_dtype():
 
 @contextlib.contextmanager
 def precision(p: str):
-    global _precision
-    old = _precision
+    global _precision, _compute_dtype
+    old_p, old_dt = _precision, _compute_dtype
     set_precision(p)
     try:
         yield
     finally:
-        _precision = old
+        # restore both globals (set_precision couples _compute_dtype to
+        # the mode; a caller may also have overridden it directly)
+        _precision, _compute_dtype = old_p, old_dt

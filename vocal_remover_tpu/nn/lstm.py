@@ -50,7 +50,8 @@ def bilstm(params, x, unroll: int = 8):
     Pallas kernel (nn/lstm_pallas.py) that runs the whole recurrence in
     one kernel with VMEM-resident state (inference paths only — no VJP).
     """
-    x = x.astype(jnp.float32)  # the recurrence always runs f32 (tiny)
+    if x.dtype != jnp.float64:  # f64 only in x64 parity-test mode
+        x = x.astype(jnp.float32)  # the recurrence always runs f32 (tiny)
     if config.get_lstm_impl() == "pallas":
         from vocal_remover_tpu.nn.lstm_pallas import bilstm_pallas
 

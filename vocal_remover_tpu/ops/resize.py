@@ -4,14 +4,16 @@ The reference's Decoder upsamples 2x with
 `F.interpolate(mode='bilinear', align_corners=True)` (reference:
 lib/layers.py:57) and ASPP re-expands a frequency-pooled branch the same
 way (lib/layers.py:96). `jax.image.resize` does not implement the
-align_corners grid, so the two-tap interpolation (source index
-i*(n_in-1)/(n_out-1)) is built host-side and applied as two gathers + a
-lerp — O(n) work per element. (A dense interp-matrix matmul is exact
-too but O(n^2) FLOPs: at decoder scales that made upsampling the most
-expensive op in the model.)
+align_corners grid (source index i*(n_in-1)/(n_out-1)), so the
+interpolation is built host-side as a row-stochastic two-taps-per-row
+matrix and applied as a dense matmul on the MXU — measured faster than
+the gather+lerp formulation at the model's decoder shapes, despite the
+extra FLOPs, because gathers run on the VPU while the (tiny) matmul
+rides the systolic array and fuses with neighbours. `interp_taps`
+retains the O(n) gather formulation for reference/benchmarks.
 
-Tap tables are cached per (n_in, n_out) and baked into the jitted graph
-as constants.
+Matrices/taps are cached per (n_in, n_out) and baked into the jitted
+graph as constants.
 """
 
 from __future__ import annotations

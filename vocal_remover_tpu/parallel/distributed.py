@@ -7,36 +7,43 @@ distributed runtime: every host runs the same program, calls
 Collectives ride ICI within a slice and DCN across slices — still no
 hand-written transport.
 
-This module is exercised on single-host CI (where it is a no-op); the
-multi-host paths follow the standard jax.distributed contract and are
-documented here as the supported deployment recipe:
+Deployment recipe (exercised by tests/test_distributed.py with two CPU
+processes):
 
-    # on every host (env vars set by the TPU VM runtime):
-    from vocal_remover_tpu.parallel import distributed
-    distributed.initialize()               # no-op on a single host
-    mesh = mesh_lib.make_mesh()            # global devices
+    from vocal_remover_tpu.parallel import distributed, mesh as mesh_lib
+    distributed.initialize()                  # env-driven on TPU VMs
+    mesh = mesh_lib.make_mesh()               # global devices
     trainer = Trainer(..., mesh=mesh)
-    loader = Loader(dataset, ...,
-                    **distributed.host_shard_kwargs())  # per-host data
+    train_files = distributed.shard_filelist(train_files)  # disjoint work
+    loader = Loader(dataset, ..., seed=distributed.host_seed(seed))
 """
 
 from __future__ import annotations
 
+import logging
+
 import jax
+
+logger = logging.getLogger(__name__)
 
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None):
-    """Initialize jax.distributed when running multi-process; a no-op
-    for single-process runs (the common single-host case)."""
+    """Initialize jax.distributed when running multi-process.
+
+    With no arguments, relies on the TPU VM runtime's auto-detection;
+    if that fails (the common single-host case) the failure is logged
+    at DEBUG and the process continues single-process. With explicit
+    arguments, failures PROPAGATE — a misconfigured multi-process
+    launch must never silently degrade to N independent trainers.
+    """
     if num_processes is None and coordinator_address is None:
-        # rely on TPU VM auto-detection when available; single-process
-        # otherwise
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process
+        except Exception as e:
+            logger.debug("jax.distributed auto-init unavailable "
+                         "(single-process): %s", e)
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -50,10 +57,34 @@ def process_info():
     return jax.process_index(), jax.process_count()
 
 
-def host_shard_kwargs():
-    """Loader kwargs that give each host a disjoint sample shard: seed
-    offset by process index and stride-sharded sampling are emulated by
-    per-host seeds (each host draws different random crops; for
-    map-style determinism pass an explicit filelist split instead)."""
+def shard_filelist(filelist):
+    """Disjoint per-host work: host i takes filelist[i::process_count].
+
+    Stride sharding keeps the per-host share balanced for sorted lists;
+    every host must call this with the SAME input list (the usual SPMD
+    contract). Returns the full list on a single host.
+    """
     idx, count = process_info()
-    return {"seed": idx} if count > 1 else {}
+    if count == 1:
+        return list(filelist)
+    shard = list(filelist[idx::count])
+    if not shard:
+        raise ValueError(
+            f"host {idx}/{count} received no files "
+            f"({len(filelist)} total) — need >= one file per host"
+        )
+    return shard
+
+
+def host_seed(seed: int) -> int:
+    """Decorrelate host-side augmentation RNG streams across hosts."""
+    idx, _ = process_info()
+    return seed * 1_000_003 + idx
+
+
+def host_shard_kwargs(seed: int = 0):
+    """Loader kwargs for multi-host runs: a per-host shuffle seed.
+    Use `shard_filelist` for the actual disjoint data split — a seed
+    alone decorrelates sampling but does NOT partition work."""
+    idx, count = process_info()
+    return {"seed": host_seed(seed)} if count > 1 else {}

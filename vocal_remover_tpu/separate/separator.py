@@ -25,8 +25,6 @@ input through its magnitude |c|.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,23 +64,41 @@ class Separator:
         self.batchsize = max(1, batchsize)
         self.cropsize = cropsize
         self.postprocess = postprocess
+        # per-instance cache of jitted executables; dies with the
+        # instance (an lru_cache on the bound methods would key a global
+        # cache on `self` and pin weights + executables alive forever)
+        self._fn_cache: dict = {}
 
     # ------------------------------------------------------------------
     # jitted core: padded (re, im) -> stitched mask
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=8)
     def _forward_fn(self, padded_frames: int, roi_size: int):
+        key = ("fwd", padded_frames, roi_size)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._fn_cache[key] = self._build_forward_fn(
+                padded_frames, roi_size
+            )
+        return fn
+
+    def _build_forward_fn(self, padded_frames: int, roi_size: int):
         crop, off, bs = self.cropsize, self.offset, self.batchsize
         n = num_patches(padded_frames, roi_size, off)
         model = self.model
+        is_cx = model.is_complex
 
         n_chunks = n // bs
 
         @jax.jit
         def run(re, im, inv_scale, variables):
-            mag = jnp.sqrt(re * re + im * im) * inv_scale  # (C, F, Tpad)
-            patches = extract_patches(mag, crop, roi_size, off)
+            if is_cx:
+                # complex model: scaled re/im stacked as channels
+                # [reL, reR, imL, imR] (same layout as training)
+                feats = jnp.concatenate([re, im], axis=0) * inv_scale
+            else:
+                feats = jnp.sqrt(re * re + im * im) * inv_scale
+            patches = extract_patches(feats, crop, roi_size, off)
             x = jnp.transpose(patches, (0, 2, 3, 1))  # (P, F, crop, C)
 
             def chunk(xb):
@@ -99,12 +115,16 @@ class Separator:
 
     def _separate(self, X_spec_pad: np.ndarray, roi_size: int,
                   inv_scale: float) -> np.ndarray:
-        """Padded complex spectrogram -> mask over the padded interior."""
+        """Padded complex spectrogram -> mask over the padded interior.
+        Real-valued (sigmoid) mask for magnitude models; complex
+        (tanh-bounded) mask for is_complex models."""
         run = self._forward_fn(X_spec_pad.shape[2], roi_size)
         re = np.ascontiguousarray(X_spec_pad.real, np.float32)
         im = np.ascontiguousarray(X_spec_pad.imag, np.float32)
-        mask = run(re, im, np.float32(inv_scale), self.variables)
-        return np.asarray(mask)
+        mask = np.asarray(run(re, im, np.float32(inv_scale), self.variables))
+        if self.model.is_complex:
+            mask = mask[:2] + 1j * mask[2:]
+        return mask
 
     # ------------------------------------------------------------------
     # public API (reference inference.py:70-102)
@@ -158,9 +178,18 @@ class Separator:
     # fully on-device wave -> wave path (the TPU-native product path)
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=8)
     def _wave_fn(self, n_samples: int, tta: bool, pcm16_io: bool,
                  only_instruments: bool = False):
+        key = ("wave", n_samples, tta, pcm16_io, only_instruments)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._fn_cache[key] = self._build_wave_fn(
+                n_samples, tta, pcm16_io, only_instruments
+            )
+        return fn
+
+    def _build_wave_fn(self, n_samples: int, tta: bool, pcm16_io: bool,
+                       only_instruments: bool = False):
         """Build the jitted whole-song pipeline for a given length:
         device STFT -> patched model forward (x2 shifted for TTA) ->
         mask -> complex reconstruction -> device iSTFT. One device call
@@ -193,9 +222,14 @@ class Separator:
         pad_l, pad_r = bucketed(pad_l0, pad_r0)
         pad2_l, pad2_r = bucketed(pad_l0 + shift, pad_r0 + shift)
 
+        is_cx = model.is_complex
+
         def masks_for(re_pad, im_pad, inv_scale, variables):
-            mag = jnp.sqrt(re_pad * re_pad + im_pad * im_pad) * inv_scale
-            patches = extract_patches(mag, crop, roi, off)
+            if is_cx:
+                feats = jnp.concatenate([re_pad, im_pad], axis=0) * inv_scale
+            else:
+                feats = jnp.sqrt(re_pad * re_pad + im_pad * im_pad) * inv_scale
+            patches = extract_patches(feats, crop, roi, off)
             x = jnp.transpose(patches, (0, 2, 3, 1))
             n_p = x.shape[0]  # whole multiple of gran by construction
             if mesh is not None:
@@ -249,12 +283,21 @@ class Separator:
                 w = jnp.clip(w, -1.0, 1.0 - 1.0 / 32768.0)
                 return jnp.round(w * 32768.0).astype(jnp.int16)
 
-            y_wave = istft(mask * re, mask * im, n_fft, hop, n_samples)
+            if is_cx:
+                # complex mask multiply: y = m (*) X, v = X - y
+                mr, mi = mask[:2], mask[2:]
+                y_re = mr * re - mi * im
+                y_im = mr * im + mi * re
+                v_re, v_im = re - y_re, im - y_im
+            else:
+                y_re, y_im = mask * re, mask * im
+                v_re, v_im = (1 - mask) * re, (1 - mask) * im
+
+            y_wave = istft(y_re, y_im, n_fft, hop, n_samples)
             if only_instruments:
                 # caller reconstructs vocals as mixture - instruments
                 return (to_i16(y_wave),) if pcm16_io else (y_wave,)
-            v_wave = istft((1 - mask) * re, (1 - mask) * im, n_fft, hop,
-                           n_samples)
+            v_wave = istft(v_re, v_im, n_fft, hop, n_samples)
             if pcm16_io:
                 return to_i16(y_wave), to_i16(v_wave)
             return y_wave, v_wave

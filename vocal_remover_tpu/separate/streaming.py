@@ -25,8 +25,6 @@ per the windowing contract, reference lib/dataset.py:198-205):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,8 +77,17 @@ class StreamingSeparator:
 
     # -- the single jitted segment function ------------------------------
 
-    @functools.lru_cache(maxsize=2)
     def _segment_fn(self):
+        # per-instance cache (an lru_cache on the bound method would pin
+        # the instance + jitted executable alive globally)
+        fn = getattr(self, "_segment_fn_cached", None)
+        if fn is not None:
+            return fn
+        fn = self._build_segment_fn()
+        self._segment_fn_cached = fn
+        return fn
+
+    def _build_segment_fn(self):
         (n_fft, hop, K, roi, off, crop, pad, seg_frames,
          slice_len) = self._geometry()
         model = self.model
@@ -254,10 +261,13 @@ class StreamingSeparator:
                 )
             else:  # vocals by residual: mixture - instruments
                 x_host = wave[:, dst0 : dst0 + n_copy]
-                vv = x_host.astype(np.int32) - y_host.astype(np.int32)
-                v_out[:, dst0 : dst0 + n_copy] = np.clip(
-                    vv, -32768, 32767
-                ).astype(np.int16)
+                if out_dtype == np.int16:
+                    vv = x_host.astype(np.int32) - y_host.astype(np.int32)
+                    v_out[:, dst0 : dst0 + n_copy] = np.clip(
+                        vv, -32768, 32767
+                    ).astype(np.int16)
+                else:  # float path: plain float residual
+                    v_out[:, dst0 : dst0 + n_copy] = x_host - y_host
 
         pending = None  # drain segment k-1 while the device runs k
         for k in range(n_segments):

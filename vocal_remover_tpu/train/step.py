@@ -60,15 +60,27 @@ class Trainer:
         self._step_counter = 0
 
         if mesh is not None:
-            self.params = mesh_lib.replicate(mesh, self.params)
-            self.stats = mesh_lib.replicate(mesh, self.stats)
-            self.opt_state = mesh_lib.replicate(mesh, self.opt_state)
-            self.grad_buf = mesh_lib.replicate(mesh, self.grad_buf)
+            # one path-based policy shards params, optimizer state, and
+            # the grad buffer consistently: replication under pure dp,
+            # channel-sharded conv/bn leaves when the mesh has a model
+            # axis > 1 (tensor parallelism — parallel/policy.py)
+            from vocal_remover_tpu.parallel import policy
+
+            self.params = policy.shard_variables(mesh, self.params)
+            self.stats = policy.shard_variables(mesh, self.stats)
+            self.opt_state = policy.shard_variables(mesh, self.opt_state)
+            self.grad_buf = policy.shard_variables(mesh, self.grad_buf)
 
         self._accum = jax.jit(self._accum_fn, donate_argnums=(1, 2))
         self._apply = jax.jit(self._apply_fn, donate_argnums=(0, 1, 2))
         self._fused = jax.jit(self._fused_fn, donate_argnums=(0, 1, 2))
         self._eval = jax.jit(self._eval_fn)
+        # no-donation gradient probe (equivalence tests / debugging)
+        self._grad = jax.jit(
+            lambda p, s, X, y, rng: jax.value_and_grad(
+                self._loss, has_aux=True
+            )(p, s, X, y, rng)
+        )
 
     # ------------------------------------------------------------------
     # jitted bodies
@@ -129,8 +141,10 @@ class Trainer:
 
     def _eval_fn(self, params, stats, X, y):
         variables = merge(params, stats)
-        Xh = jnp.transpose(X, (0, 2, 3, 1))
-        yh = jnp.transpose(y, (0, 2, 3, 1))
+        # upcast like _loss: batches may arrive in a reduced staging
+        # dtype (transfer_dtype) but the loss itself is computed in f32
+        Xh = jnp.transpose(X, (0, 2, 3, 1)).astype(jnp.float32)
+        yh = jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
         if self.model.is_complex:
             mask = self.model(variables, Xh)
             mr, mi = mask[..., :2], mask[..., 2:]
@@ -184,6 +198,18 @@ class Trainer:
         if self.prefetch > 0:
             return device_prefetch(it, lambda z: z, depth=self.prefetch)
         return it
+
+    def compute_grads(self, X, y):
+        """(loss, grads) for one batch — NO update, no buffer donation.
+
+        The exact-equivalence probe for mesh tests: gradients compare
+        tightly across dp/tp layouts (unlike post-Adam params, where the
+        sign of a ~0 gradient under different reduction orders flips a
+        whole lr-sized step)."""
+        Xd, yd = self._put_batch(X, y)
+        rng = jax.random.fold_in(self.base_key, self._step_counter)
+        (loss, _), grads = self._grad(self.params, self.stats, Xd, yd, rng)
+        return float(loss), jax.tree_util.tree_map(np.asarray, grads)
 
     def train_epoch(self, loader) -> float:
         """One epoch; returns dataset-mean per-sample loss

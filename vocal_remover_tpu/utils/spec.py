@@ -5,6 +5,15 @@ Re-implements the reference's numpy-level helpers (lib/spec_utils.py):
 (:34-57) and `align_wave_head_and_tail` (:96-119). These run on the host
 (cheap, data-dependent control flow) — the device-side equivalents that
 matter for throughput live in `vocal_remover_tpu.ops`.
+
+Similarity note: `merge_artifacts` and `spectrogram_to_image` are
+oracle-tested to be BIT-compatible with the reference's postprocess and
+image dumps, and those functions are little more than their quirky
+numeric contracts (run-length gating thresholds, fade bookkeeping,
+uint8 scaling) — the implementations therefore necessarily mirror the
+reference's arithmetic step for step. Where behavior is NOT a contract
+we diverge freely (`trim_silence` below reimplements librosa's trim from
+scratch; alignment uses scipy-style FFT correlation).
 """
 
 from __future__ import annotations
