@@ -1,0 +1,78 @@
+"""Native FLAC decoder (native/flacdec.c) vs the pure-Python encoder
+(utils/flac.py): exact roundtrips over every subframe type, residual
+coding, and stereo decorrelation mode, plus audio.load() integration.
+"""
+
+import numpy as np
+import pytest
+
+from vocal_remover_tpu import native
+from vocal_remover_tpu.utils import audio, flac
+
+
+@pytest.fixture(scope="module")
+def ext():
+    if native.get() is None or not hasattr(native.get(), "flac_decode"):
+        pytest.skip("native extension unavailable")
+    return native
+
+
+def pcm(shape, scale=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape) * scale).astype(np.int64)
+
+
+@pytest.mark.parametrize("method", ["verbatim", "fixed2", "lpc2", "auto"])
+@pytest.mark.parametrize("stereo", ["independent", "left_side", "mid_side"])
+def test_roundtrip_exact(ext, method, stereo):
+    x = pcm((10000, 2))
+    data = flac.encode_flac(x, 44100, 16, method=method, stereo=stereo)
+    dec, sr, bps = ext.flac_decode(data)
+    assert (sr, bps) == (44100, 16)
+    np.testing.assert_array_equal(dec, x)
+
+
+def test_constant_blocks(ext):
+    x = np.full((5000, 1), -123, np.int64)
+    dec, sr, bps = ext.flac_decode(flac.encode_flac(x, 22050, 16))
+    np.testing.assert_array_equal(dec, x)
+
+
+def test_24bit_and_odd_length(ext):
+    x = pcm((7001, 1), scale=1e6, seed=3)
+    dec, sr, bps = ext.flac_decode(flac.encode_flac(x, 48000, 24))
+    assert bps == 24
+    np.testing.assert_array_equal(dec, x)
+
+
+def test_multi_frame_boundaries(ext):
+    # lengths around the 4096 block boundary
+    for n in (4095, 4096, 4097, 8192, 8193):
+        x = pcm((n, 2), seed=n)
+        dec, _, _ = ext.flac_decode(flac.encode_flac(x, 44100, 16))
+        np.testing.assert_array_equal(dec, x, err_msg=str(n))
+
+
+def test_reject_garbage(ext):
+    with pytest.raises(ValueError):
+        ext.flac_decode(b"RIFFnotflacnotflacnotflacnotflacnotflacnotflac")
+
+
+def test_audio_load_flac(ext, tmp_path):
+    t = np.arange(44100) / 44100
+    wave = np.stack([
+        0.5 * np.sin(2 * np.pi * 440 * t),
+        0.25 * np.sin(2 * np.pi * 220 * t),
+    ]).astype(np.float32)
+    p = str(tmp_path / "song.flac")
+    flac.write_flac(p, wave, 44100)
+    out, sr = audio.load(p, sr=44100, mono=False)
+    assert sr == 44100
+    assert out.shape == wave.shape
+    # 16-bit quantization is the only loss
+    assert np.abs(out - wave).max() <= 1.0 / 32768.0
+
+    # resampled load goes through the kaiser_fast path
+    out2, sr2 = audio.load(p, sr=22050, mono=False)
+    assert sr2 == 22050
+    assert out2.shape == (2, 22050)

@@ -62,11 +62,25 @@ class TrainingSet:
     def _item_rng(self, idx: int) -> np.random.Generator:
         return np.random.default_rng((0x5EED, self.seed, self._epoch, idx))
 
+    def _crop_window(self, n_frames: int, rng) -> tuple[int, int]:
+        """(start, n_rows) for a random crop; songs shorter than
+        cropsize are taken whole (padded to cropsize after the read).
+        Always draws exactly once so the rng stream is layout-stable."""
+        span = max(n_frames - self.cropsize, 1)
+        start = int(rng.integers(0, span))
+        if n_frames <= self.cropsize:
+            return 0, n_frames
+        return start, self.cropsize
+
     def do_crop(self, X_path, y_path, rng):
         n_frames = cache.read_npy_shape(X_path)[0]
-        start = int(rng.integers(0, n_frames - self.cropsize))
-        X = cache.read_npy_rows(X_path, start, self.cropsize)
-        y = cache.read_npy_rows(y_path, start, self.cropsize)
+        start, n_rows = self._crop_window(n_frames, rng)
+        X = cache.read_npy_rows(X_path, start, n_rows)
+        y = cache.read_npy_rows(y_path, start, n_rows)
+        if n_rows < self.cropsize:
+            pad = ((0, self.cropsize - n_rows), (0, 0), (0, 0))
+            X = np.pad(X, pad)
+            y = np.pad(y, pad)
         # (T, 2, F) rows -> (2, F, T)
         return X.transpose(1, 2, 0), y.transpose(1, 2, 0)
 
@@ -118,19 +132,23 @@ class TrainingSet:
         accelerator never changes which augmentations a run sees."""
         X_path, y_path, coef = self.training_set[idx % len(self.training_set)]
         n_frames = cache.read_npy_shape(X_path)[0]
-        start = int(rng.integers(0, n_frames - self.cropsize))
+        start, n_rows = self._crop_window(n_frames, rng)
 
         from vocal_remover_tpu import native
 
-        X = native.load_crop_abs(X_path, start, self.cropsize, coef)
+        X = native.load_crop_abs(X_path, start, n_rows, coef)
         y = None
         if X is not None:
-            y = native.load_crop_abs(y_path, start, self.cropsize, coef)
+            y = native.load_crop_abs(y_path, start, n_rows, coef)
         if X is None or y is None:  # extension unavailable: numpy
-            Xc = cache.read_npy_rows(X_path, start, self.cropsize)
-            yc = cache.read_npy_rows(y_path, start, self.cropsize)
+            Xc = cache.read_npy_rows(X_path, start, n_rows)
+            yc = cache.read_npy_rows(y_path, start, n_rows)
             X = (np.abs(Xc.transpose(1, 2, 0)) / coef).astype(np.float32)
             y = (np.abs(yc.transpose(1, 2, 0)) / coef).astype(np.float32)
+        if n_rows < self.cropsize:
+            pad = ((0, 0), (0, 0), (0, self.cropsize - n_rows))
+            X = np.pad(X, pad)
+            y = np.pad(y, pad)
 
         rng.uniform()  # reduction draw (reduction_rate == 0 here)
         if rng.uniform() < 0.5:  # stereo channel swap

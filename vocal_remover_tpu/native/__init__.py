@@ -57,3 +57,15 @@ def pcm16_decode(pcm: np.ndarray) -> np.ndarray | None:
     p = np.ascontiguousarray(pcm, np.int16)
     out = mod.pcm16_decode(p)
     return np.frombuffer(out, np.float32).reshape(pcm.shape)
+
+
+def flac_decode(data: bytes):
+    """FLAC stream bytes -> ((n, ch) int32 pcm, sample_rate, bps), or
+    None when the extension is unavailable (caller falls back or
+    errors with a clear message)."""
+    mod = get()
+    if mod is None or not hasattr(mod, "flac_decode"):
+        return None
+    raw, n, ch, sr, bps = mod.flac_decode(data)
+    pcm = np.frombuffer(raw, "<i4").reshape(n, ch)
+    return pcm, sr, bps

@@ -13,7 +13,11 @@ import subprocess
 import sysconfig
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "vrtnative.c")
+SRCS = [
+    os.path.join(HERE, "vrtnative.c"),
+    os.path.join(HERE, "flacdec.c"),
+]
+SRC = SRCS[0]  # mtime anchor (back-compat name)
 SO = os.path.join(
     HERE, "_vrtnative" + (sysconfig.get_config_var("EXT_SUFFIX") or ".so")
 )
@@ -25,7 +29,7 @@ def build(verbose: bool = False) -> str | None:
         return None
     include = sysconfig.get_paths()["include"]
     cmd = [
-        cc, "-O3", "-march=native", "-shared", "-fPIC", "-o", SO, SRC,
+        cc, "-O3", "-march=native", "-shared", "-fPIC", "-o", SO, *SRCS,
         f"-I{include}", "-lm",
     ]
     try:
@@ -40,7 +44,9 @@ def build(verbose: bool = False) -> str | None:
 
 
 def ensure_built() -> bool:
-    if os.path.exists(SO) and os.path.getmtime(SO) >= os.path.getmtime(SRC):
+    if os.path.exists(SO) and all(
+        os.path.getmtime(SO) >= os.path.getmtime(s) for s in SRCS
+    ):
         return True
     return build() is not None
 

@@ -197,6 +197,9 @@ static PyObject *pcm16_decode(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* flacdec.c */
+extern PyObject *vrt_flac_decode(PyObject *self, PyObject *args);
+
 static PyMethodDef Methods[] = {
     {"load_crop_abs", load_crop_abs, METH_VARARGS,
      "fused npy chunk read + |complex|/coef in (C, F, T) layout"},
@@ -204,6 +207,8 @@ static PyMethodDef Methods[] = {
      "float32 buffer -> int16 PCM bytes (clip+scale+round)"},
     {"pcm16_decode", pcm16_decode, METH_VARARGS,
      "int16 PCM buffer -> float32 bytes"},
+    {"flac_decode", vrt_flac_decode, METH_VARARGS,
+     "FLAC stream bytes -> (int32 pcm bytes, n, channels, sr, bps)"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -86,11 +86,17 @@ class Trainer:
     # jitted bodies
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _upcast(a):
+        # reduced staging dtypes (bf16/f16) are upcast to f32 before the
+        # loss; f64 (x64 parity tests) passes through untouched
+        return a.astype(jnp.promote_types(a.dtype, jnp.float32))
+
     def _loss(self, params, stats, X, y, rng):
         variables = merge(params, stats)
         # host batches are (N, C, F, T) like the reference; go NHWC on device
-        Xh = jnp.transpose(X, (0, 2, 3, 1)).astype(jnp.float32)
-        yh = jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
+        Xh = self._upcast(jnp.transpose(X, (0, 2, 3, 1)))
+        yh = self._upcast(jnp.transpose(y, (0, 2, 3, 1)))
         if not self.dropout:
             rng = None
         mask, new_vars = self.model.apply(variables, Xh, train=True, rng=rng)
@@ -143,8 +149,8 @@ class Trainer:
         variables = merge(params, stats)
         # upcast like _loss: batches may arrive in a reduced staging
         # dtype (transfer_dtype) but the loss itself is computed in f32
-        Xh = jnp.transpose(X, (0, 2, 3, 1)).astype(jnp.float32)
-        yh = jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
+        Xh = self._upcast(jnp.transpose(X, (0, 2, 3, 1)))
+        yh = self._upcast(jnp.transpose(y, (0, 2, 3, 1)))
         if self.model.is_complex:
             mask = self.model(variables, Xh)
             mr, mi = mask[..., :2], mask[..., 2:]

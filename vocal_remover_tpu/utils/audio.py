@@ -9,8 +9,9 @@ library exists in this environment, so this module implements:
     plus a manual 24-bit path.
   * Other container formats (.mp3/.m4a/.mp4/.flac) through an optional
     `ffmpeg` subprocess — gated, with a clear error when unavailable.
-  * Polyphase resampling (scipy.signal.resample_poly, Kaiser window) —
-    same family of resampler as librosa's kaiser_fast.
+  * Band-limited sinc resampling matching librosa's `kaiser_fast`
+    algorithm (utils/resample.py — the reference's res_type,
+    inference.py:138); scipy polyphase kept as `res_type='polyphase'`.
   * WAV encode as 16-bit PCM by default (soundfile's WAV default),
     optionally float32.
 
@@ -29,7 +30,8 @@ import numpy as np
 from scipy.io import wavfile
 from scipy.signal import resample_poly
 
-__all__ = ["load", "read_wav", "write_wav", "resample", "have_ffmpeg"]
+__all__ = ["load", "read_wav", "read_flac", "write_wav", "resample",
+           "have_ffmpeg"]
 
 _FFMPEG = shutil.which("ffmpeg")
 
@@ -106,14 +108,42 @@ def write_wav(path: str, wave: np.ndarray, sr: int, subtype: str = "PCM_16"):
     wavfile.write(path, sr, data)
 
 
-def resample(wave: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase Kaiser resampling of a (..., L) wave."""
+def resample(wave: np.ndarray, orig_sr: int, target_sr: int,
+             res_type: str = "kaiser_fast") -> np.ndarray:
+    """Resample a (..., L) wave.
+
+    `kaiser_fast` (default) / `kaiser_best`: band-limited sinc
+    interpolation with librosa/resampy's constants — the reference's
+    loading path (inference.py:138). `polyphase`: scipy polyphase.
+    """
     if orig_sr == target_sr:
         return wave.astype(np.float32)
-    g = math.gcd(orig_sr, target_sr)
-    up, down = target_sr // g, orig_sr // g
-    out = resample_poly(wave.astype(np.float64), up, down, axis=-1)
-    return out.astype(np.float32)
+    if res_type == "polyphase":
+        g = math.gcd(orig_sr, target_sr)
+        up, down = target_sr // g, orig_sr // g
+        out = resample_poly(wave.astype(np.float64), up, down, axis=-1)
+        return out.astype(np.float32)
+    from vocal_remover_tpu.utils import resample as _sinc
+
+    return _sinc.resample(wave, orig_sr, target_sr, res_type)
+
+
+def read_flac(path: str) -> tuple[np.ndarray, int]:
+    """Read a FLAC file via the native decoder (native/flacdec.c)
+    -> ((C, L) float32 in [-1, 1], sample_rate)."""
+    from vocal_remover_tpu import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    out = native.flac_decode(data)
+    if out is None:
+        raise RuntimeError(
+            "FLAC decoding requires the native extension (no C compiler "
+            "available) — or install ffmpeg"
+        )
+    pcm, sr, bps = out
+    wave = pcm.astype(np.float32) / float(1 << (bps - 1))
+    return np.ascontiguousarray(wave.T), int(sr)
 
 
 def _load_via_ffmpeg(path: str, sr: int | None) -> tuple[np.ndarray, int]:
@@ -147,6 +177,13 @@ def load(
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         wave, file_sr = read_wav(path)
+    elif ext == ".flac":
+        try:
+            wave, file_sr = read_flac(path)
+        except (RuntimeError, ValueError):
+            # native decode unavailable or unsupported stream feature:
+            # degrade gracefully through ffmpeg when present
+            wave, file_sr = _load_via_ffmpeg(path, None)
     else:
         wave, file_sr = _load_via_ffmpeg(path, None)
 
