@@ -34,7 +34,11 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_DIR = os.environ.get("VR_REFERENCE_DIR", "/root/reference")
-sys.path.insert(0, REPO)
+if REPO not in sys.path:
+    # append, never prepend: the repo's top-level CLI shims
+    # (inference.py/train.py) must not shadow same-named modules for
+    # other importers in this process
+    sys.path.append(REPO)
 
 
 def import_reference():

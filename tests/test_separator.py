@@ -23,7 +23,15 @@ def reference_inference(reference_lib):
         mod = types.ModuleType("tqdm")
         mod.tqdm = lambda x, *a, **k: x
         sys.modules["tqdm"] = mod
-    import inference as ref_inference  # from /root/reference
+    # load by explicit path: the repo's own top-level inference.py shim
+    # would shadow a bare `import inference` depending on sys.path order
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_reference_inference", "/root/reference/inference.py"
+    )
+    ref_inference = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_inference)
 
     return ref_inference
 

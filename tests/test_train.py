@@ -156,3 +156,27 @@ def test_native_model_checkpoint(tmp_path, tiny_setup):
     loaded = convert.load_checkpoint(path, model)
     mask = model(loaded, np.transpose(X[:1], (0, 2, 3, 1)))
     assert mask.shape == (1, 33, 160, 2)
+
+
+def test_aux_deep_supervision(tiny_setup):
+    """aux_lambda > 0 trains THROUGH the aux head (reference ships it
+    untrained, nets.py:80): its gradients become nonzero, the combined
+    loss decreases, and aux_lambda=0 reproduces the reference loss."""
+    model, variables, X, y = tiny_setup
+
+    t0 = Trainer(model, variables, learning_rate=1e-3, dropout=False)
+    ta = Trainer(model, variables, learning_rate=1e-3, dropout=False,
+                 aux_lambda=0.5)
+
+    loss0, grads0 = t0.compute_grads(X[:4], y[:4])
+    lossa, grads_a = ta.compute_grads(X[:4], y[:4])
+    # aux adds a nonnegative term
+    assert lossa >= loss0 - 1e-7
+    g0 = np.abs(grads0["aux_out"]["conv"]).max()
+    ga = np.abs(grads_a["aux_out"]["conv"]).max()
+    assert g0 == 0.0  # dead head without the flag (reference behavior)
+    assert ga > 0.0
+
+    losses_seq = [ta.train_epoch(ArrayPairs(X, y, 4)) for _ in range(8)]
+    assert np.isfinite(losses_seq).all()
+    assert losses_seq[-1] < losses_seq[0]

@@ -53,6 +53,10 @@ def build_parser():
                    help='mono-mix augmentation probability (dormant in '
                         'the reference: lib/dataset.py:81-83)')
     p.add_argument('--pretrained_model', '-P', type=str, default=None)
+    p.add_argument('--aux_lambda', type=float, default=0.0,
+                   help='deep-supervision weight for the aux mask head '
+                        '(the reference ships the head untrained, '
+                        'nets.py:80; 0 disables = reference behavior)')
     p.add_argument('--is_complex', action='store_true',
                    help='complex-mask training: re/im channel pairs, '
                         'tanh-bounded complex masks (the reference '
@@ -184,6 +188,7 @@ def main(argv=None):
         seed=args.seed,
         transfer_dtype=(jnp.bfloat16 if transfer_dtype == 'bfloat16'
                         else None),
+        aux_lambda=args.aux_lambda,
     )
     scheduler = ReduceLROnPlateau(
         lr=args.learning_rate,

@@ -39,18 +39,21 @@ class StreamingSeparator:
     """
 
     def __init__(self, model, variables, segment_patches=32, batchsize=8,
-                 pcm16_io=False, vocals_residual=False):
+                 pcm16_io=False, vocals_residual=False, pipeline_depth=3):
         """pcm16_io: exchange int16 PCM with the device (4x less link
         traffic; exact for PCM16 sources). vocals_residual: download
         only instruments and reconstruct vocals host-side as
         mixture - instruments (halves downloads and skips the vocals
         iSTFT; exact away from the global half-window edges, like
-        SeparatorService's same option)."""
+        SeparatorService's same option). pipeline_depth: how many
+        segments the upload/dispatch stage may run ahead of the
+        download stage."""
         self.model = model
         self.variables = jax.device_put(variables)
         self.bs = batchsize
         self.pcm16_io = pcm16_io
         self.vocals_residual = vocals_residual
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # K + 2 (owned + halo patches) must fill whole chunks
         self.K = max(
             batchsize - 2,
@@ -269,27 +272,47 @@ class StreamingSeparator:
                 else:  # float path: plain float residual
                     v_out[:, dst0 : dst0 + n_copy] = x_host - y_host
 
-        pending = None  # drain segment k-1 while the device runs k
-        for k in range(n_segments):
-            a = k * K  # first owned patch
-            # segment frames (original coords): [(a-1)*roi - off, ...)
-            f0 = (a - 1) * roi - off
-            lo = f0 * hop - pad
-            win = self._wave_window(wave, lo, lo + slice_len)
-            valid = (
-                (np.arange(f0, f0 + seg_frames) >= 0)
-                & (np.arange(f0, f0 + seg_frames) < n_frame)
-            ).astype(np.float32)
+        # segment pipeline: a producer thread windows + dispatches
+        # segments (H2D + device compute run ahead) while this thread
+        # drains results (D2H) in order — uploads, compute, and
+        # downloads of adjacent segments all overlap, so the streamed
+        # path sustains max(up, compute, down) per segment instead of
+        # their sum (the same 3-stage shape as SeparatorService).
+        import queue as _queue
+        import threading as _threading
 
-            # OLA positions emitted: [A*hop, B*hop), A = a*roi
-            p0 = a * roi * hop
-            outs = run(win, valid, inv_scale,
-                       self.variables)  # async dispatch
-            if pending is not None:
-                drain(pending)
-            pending = (p0, outs)
-        if pending is not None:
-            drain(pending)
+        q: _queue.Queue = _queue.Queue(maxsize=self.pipeline_depth)
+
+        def producer():
+            try:
+                for k in range(n_segments):
+                    a = k * K  # first owned patch
+                    # segment frames (orig coords): [(a-1)*roi - off, …)
+                    f0 = (a - 1) * roi - off
+                    lo = f0 * hop - pad
+                    win = self._wave_window(wave, lo, lo + slice_len)
+                    valid = (
+                        (np.arange(f0, f0 + seg_frames) >= 0)
+                        & (np.arange(f0, f0 + seg_frames) < n_frame)
+                    ).astype(np.float32)
+                    # OLA positions emitted: [A*hop, B*hop), A = a*roi
+                    p0 = a * roi * hop
+                    outs = run(win, valid, inv_scale,
+                               self.variables)  # async dispatch
+                    q.put((p0, outs))
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        _threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            drain(item)
         # the centered iSTFT's natural length is hop*(n_frame-1); the
         # monolithic path zero-pads beyond it (ops/stft.py istft length
         # handling) — reproduce that tail exactly

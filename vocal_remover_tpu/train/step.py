@@ -36,11 +36,15 @@ from vocal_remover_tpu.train.prefetch import device_prefetch
 class Trainer:
     def __init__(self, model, variables, learning_rate, accumulation_steps=1,
                  mesh=None, seed=0, dropout=True, transfer_dtype=None,
-                 prefetch=2):
+                 prefetch=2, aux_lambda=0.0):
         self.model = model
         self.accumulation_steps = accumulation_steps
         self.mesh = mesh
         self.dropout = dropout  # False => deterministic training (no dropout)
+        # deep supervision: weight of the aux-head mask loss (the
+        # reference carries the aux_out head but never trains it,
+        # nets.py:80 — exposed here as a real option)
+        self.aux_lambda = float(aux_lambda)
         # ship batches as e.g. jnp.bfloat16 to halve host-link traffic
         # (upcast to f32 on device before the loss); None = as-is
         self.transfer_dtype = transfer_dtype
@@ -92,14 +96,7 @@ class Trainer:
         # loss; f64 (x64 parity tests) passes through untouched
         return a.astype(jnp.promote_types(a.dtype, jnp.float32))
 
-    def _loss(self, params, stats, X, y, rng):
-        variables = merge(params, stats)
-        # host batches are (N, C, F, T) like the reference; go NHWC on device
-        Xh = self._upcast(jnp.transpose(X, (0, 2, 3, 1)))
-        yh = self._upcast(jnp.transpose(y, (0, 2, 3, 1)))
-        if not self.dropout:
-            rng = None
-        mask, new_vars = self.model.apply(variables, Xh, train=True, rng=rng)
+    def _mask_loss(self, mask, Xh, yh):
         if self.model.is_complex:
             # complex-mask training (the reference only sketched this in
             # comments, train.py:85-86): pred = mask (*) X as complex
@@ -112,9 +109,29 @@ class Trainer:
             y_mag = jnp.sqrt(
                 yh[..., :2] ** 2 + yh[..., 2:] ** 2 + 1e-12
             )
-            loss = losses.l1(pred_mag, y_mag)
+            return losses.l1(pred_mag, y_mag)
+        return losses.mask_l1_loss(mask, Xh, yh)
+
+    def _loss(self, params, stats, X, y, rng):
+        variables = merge(params, stats)
+        # host batches are (N, C, F, T) like the reference; go NHWC on device
+        Xh = self._upcast(jnp.transpose(X, (0, 2, 3, 1)))
+        yh = self._upcast(jnp.transpose(y, (0, 2, 3, 1)))
+        if not self.dropout:
+            rng = None
+        if self.aux_lambda > 0:
+            (mask, aux_mask), new_vars = self.model.apply(
+                variables, Xh, train=True, rng=rng, aux=True
+            )
+            loss = self._mask_loss(mask, Xh, yh)
+            loss = loss + self.aux_lambda * self._mask_loss(
+                aux_mask, Xh, yh
+            )
         else:
-            loss = losses.mask_l1_loss(mask, Xh, yh)
+            mask, new_vars = self.model.apply(
+                variables, Xh, train=True, rng=rng
+            )
+            loss = self._mask_loss(mask, Xh, yh)
         _, new_stats = partition(new_vars)
         return loss, new_stats
 
