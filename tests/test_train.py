@@ -180,3 +180,39 @@ def test_aux_deep_supervision(tiny_setup):
     losses_seq = [ta.train_epoch(ArrayPairs(X, y, 4)) for _ in range(8)]
     assert np.isfinite(losses_seq).all()
     assert losses_seq[-1] < losses_seq[0]
+
+
+def test_int8_batch_staging(tiny_setup):
+    """--transfer_dtype int8: per-batch uint8 quantization quarters link
+    traffic; training still learns, and the dequantized loss sits within
+    the quantization-noise envelope of the f32 loss."""
+    model, variables, X, y = tiny_setup
+
+    tf = Trainer(model, variables, learning_rate=1e-3, dropout=False)
+    tq = Trainer(model, variables, learning_rate=1e-3, dropout=False,
+                 transfer_dtype="int8")
+
+    loss_f, _ = tf.compute_grads(X[:4], y[:4])
+    loss_q, _ = tq.compute_grads(X[:4], y[:4])
+    # expected |quantization error| is scale/4 per tensor of the L1 pair
+    step = max(float(X.max()), float(y.max())) / 255.0
+    assert abs(loss_q - loss_f) < step, (loss_f, loss_q)
+
+    losses_seq = [tq.train_epoch(ArrayPairs(X, y, 4)) for _ in range(6)]
+    assert np.isfinite(losses_seq).all()
+    assert losses_seq[-1] < losses_seq[0]
+
+    # complex mode carries signed channels: int8 staging must refuse
+    cmodel = CascadedNet(64, 32, 4, 8, True)
+    cvars = cmodel.init(jax.random.PRNGKey(0))
+    tc = Trainer(cmodel, cvars, learning_rate=1e-3,
+                 transfer_dtype="int8")
+    with pytest.raises(ValueError):
+        tc.compute_grads(
+            np.abs(np.random.default_rng(0).standard_normal(
+                (2, 4, 33, 160)
+            )).astype(np.float32),
+            np.abs(np.random.default_rng(1).standard_normal(
+                (2, 4, 33, 160)
+            )).astype(np.float32),
+        )

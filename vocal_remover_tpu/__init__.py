@@ -21,3 +21,22 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(subdir: str = ".jax_cache"):
+    """Point JAX's persistent compilation cache at <repo>/<subdir> so
+    repeat CLI invocations skip recompiles (minutes per new graph shape
+    on small hosts). Safe to call any time before the first compile;
+    silently a no-op if the backend rejects the config."""
+    import os
+
+    import jax
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(root, subdir)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

@@ -36,6 +36,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from vocal_remover_tpu import enable_compile_cache
+
+    enable_compile_cache()
 
     from vocal_remover_tpu.data import pairing
     from vocal_remover_tpu.models import convert

@@ -136,6 +136,9 @@ def _run_batch(args, model, variables):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from vocal_remover_tpu import enable_compile_cache
+
+    enable_compile_cache()
 
     from vocal_remover_tpu.models import convert
     from vocal_remover_tpu.nn import config as nn_config

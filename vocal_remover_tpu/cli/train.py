@@ -72,12 +72,15 @@ def build_parser():
     p.add_argument('--precision', type=str, default='highest',
                    choices=['highest', 'default'])
     p.add_argument('--transfer_dtype', type=str, default=None,
-                   choices=['float32', 'bfloat16'],
+                   choices=['float32', 'bfloat16', 'int8'],
                    help='dtype for host->device batch staging (bf16 '
-                        'halves link traffic; loss is computed in f32 '
-                        'after an on-device upcast). Default: float32 '
-                        'under --precision highest (f32-faithful mode '
-                        'must not truncate inputs), bfloat16 otherwise.')
+                        'halves link traffic; int8 quarters it via '
+                        'per-batch linear quantization — a throughput/'
+                        'quality trade, magnitudes only; loss is '
+                        'computed in f32 after an on-device dequant). '
+                        'Default: float32 under --precision highest '
+                        '(f32-faithful mode must not truncate inputs), '
+                        'bfloat16 otherwise.')
     p.add_argument('--output_dir', type=str, default='models')
     return p
 
@@ -104,6 +107,9 @@ def reduction_weight_ramp(n_fft: int, sr: int, reduction_level: float):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from vocal_remover_tpu import enable_compile_cache
+
+    enable_compile_cache()
     timestamp = datetime.now().strftime('%Y%m%d%H%M%S')
 
     from vocal_remover_tpu.data import cache, dataset, pairing
@@ -186,8 +192,11 @@ def main(argv=None):
         accumulation_steps=args.accumulation_steps,
         mesh=mesh,
         seed=args.seed,
-        transfer_dtype=(jnp.bfloat16 if transfer_dtype == 'bfloat16'
-                        else None),
+        transfer_dtype=(
+            'int8' if transfer_dtype == 'int8'
+            else jnp.bfloat16 if transfer_dtype == 'bfloat16'
+            else None
+        ),
         aux_lambda=args.aux_lambda,
     )
     scheduler = ReduceLROnPlateau(

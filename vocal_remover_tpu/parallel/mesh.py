@@ -45,9 +45,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Device-put host batches with the batch axis sharded over `data`."""
+    """Device-put host batches with the batch axis sharded over `data`.
+    Accepts pytrees (e.g. int8-staged {"q": ..., "scale": ...} batches);
+    scalar leaves are replicated, array leaves batch-sharded."""
     s = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, s) for a in arrays)
+    r = replicated(mesh)
+
+    def put(a):
+        return jax.device_put(a, s if np.ndim(a) > 0 else r)
+
+    out = tuple(jax.tree_util.tree_map(put, a) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

@@ -46,7 +46,12 @@ class Trainer:
         # nets.py:80 — exposed here as a real option)
         self.aux_lambda = float(aux_lambda)
         # ship batches as e.g. jnp.bfloat16 to halve host-link traffic
-        # (upcast to f32 on device before the loss); None = as-is
+        # (upcast to f32 on device before the loss); None = as-is.
+        # The string "int8" selects linear uint8 quantization with a
+        # per-batch scale (4x less traffic than f32) — magnitudes only;
+        # dequantization runs on device. Quantization noise (~scale/510
+        # expected |error|) touches inputs AND targets, so this is a
+        # throughput/quality trade — see BENCH_NOTES.md.
         self.transfer_dtype = transfer_dtype
         self.prefetch = prefetch
         self.optimizer = optax.inject_hyperparams(optax.adam)(
@@ -93,7 +98,10 @@ class Trainer:
     @staticmethod
     def _upcast(a):
         # reduced staging dtypes (bf16/f16) are upcast to f32 before the
-        # loss; f64 (x64 parity tests) passes through untouched
+        # loss; f64 (x64 parity tests) passes through untouched.
+        # int8-staged batches arrive as {"q": uint8, "scale": f32}.
+        if isinstance(a, dict):
+            return a["q"].astype(jnp.float32) * a["scale"]
         return a.astype(jnp.promote_types(a.dtype, jnp.float32))
 
     def _mask_loss(self, mask, Xh, yh):
@@ -115,8 +123,8 @@ class Trainer:
     def _loss(self, params, stats, X, y, rng):
         variables = merge(params, stats)
         # host batches are (N, C, F, T) like the reference; go NHWC on device
-        Xh = self._upcast(jnp.transpose(X, (0, 2, 3, 1)))
-        yh = self._upcast(jnp.transpose(y, (0, 2, 3, 1)))
+        Xh = jnp.transpose(self._upcast(X), (0, 2, 3, 1))
+        yh = jnp.transpose(self._upcast(y), (0, 2, 3, 1))
         if not self.dropout:
             rng = None
         if self.aux_lambda > 0:
@@ -166,8 +174,8 @@ class Trainer:
         variables = merge(params, stats)
         # upcast like _loss: batches may arrive in a reduced staging
         # dtype (transfer_dtype) but the loss itself is computed in f32
-        Xh = self._upcast(jnp.transpose(X, (0, 2, 3, 1)))
-        yh = self._upcast(jnp.transpose(y, (0, 2, 3, 1)))
+        Xh = jnp.transpose(self._upcast(X), (0, 2, 3, 1))
+        yh = jnp.transpose(self._upcast(y), (0, 2, 3, 1))
         if self.model.is_complex:
             mask = self.model(variables, Xh)
             mr, mi = mask[..., :2], mask[..., 2:]
@@ -207,8 +215,26 @@ class Trainer:
             lr, jnp.float32
         )
 
+    @staticmethod
+    def _quantize_u8(a):
+        """magnitude batch -> {"q": uint8, "scale": f32} (scale chosen
+        so 255 == batch max; device dequant = q * scale)."""
+        a = np.asarray(a, np.float32)
+        hi = float(a.max())
+        scale = (hi / 255.0) if hi > 0 else 1.0
+        q = np.clip(np.round(a / scale), 0, 255).astype(np.uint8)
+        return {"q": q, "scale": np.float32(scale)}
+
     def _put_batch(self, X, y):
-        if self.transfer_dtype is not None:
+        if self.transfer_dtype == "int8":
+            if self.model.is_complex:
+                raise ValueError(
+                    "int8 staging quantizes nonnegative magnitudes; "
+                    "complex-mode batches carry signed re/im channels"
+                )
+            X = self._quantize_u8(X)
+            y = self._quantize_u8(y)
+        elif self.transfer_dtype is not None:
             X = np.asarray(X).astype(self.transfer_dtype)
             y = np.asarray(y).astype(self.transfer_dtype)
         if self.mesh is not None:
