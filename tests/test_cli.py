@@ -266,3 +266,19 @@ def test_plot_log_cli(tmp_path):
     out = str(tmp_path / "curve.png")
     main([log_path, out])
     assert os.path.exists(out)
+
+
+def test_inference_cli_data_parallel(tiny_ckpt, song, tmp_path):
+    """--data_parallel shards the patch axis over the (virtual 8-dev)
+    mesh; output must match the single-device CLI run exactly."""
+    from vocal_remover_tpu.cli.inference import main
+
+    path, w, sr = song
+    out1 = str(tmp_path / "out1")
+    outN = str(tmp_path / "outN")
+    base = ["-i", path, "-P", tiny_ckpt, "-f", "256", "-H", "128", "-B", "2"]
+    main(base + ["-o", out1])
+    main(base + ["-o", outN, "--data_parallel", "0"])
+    a, _ = audio.read_wav(os.path.join(out1, "song_Instruments.wav"))
+    b, _ = audio.read_wav(os.path.join(outN, "song_Instruments.wav"))
+    np.testing.assert_allclose(a, b, atol=2e-4)

@@ -66,7 +66,20 @@ def build_parser():
                    help='segment-streamed separation: constant memory '
                         'and a single compile for any input length '
                         '(auto-enabled above 20 minutes of audio)')
+    p.add_argument('--data_parallel', type=int, default=1,
+                   help='shard the patch axis of each song over an '
+                        'N-device mesh (0 = all local devices; '
+                        'sequence parallelism — patches are halo-free '
+                        'by the windowing contract)')
     return p
+
+
+def _inference_mesh(n: int):
+    if n == 1:
+        return None
+    from vocal_remover_tpu.parallel import mesh as mesh_lib
+
+    return mesh_lib.make_mesh(n_data=n if n > 0 else None, n_model=1)
 
 
 def _run_batch(args, model, variables):
@@ -116,7 +129,8 @@ def _run_batch(args, model, variables):
             yield np.pad(X, ((0, 0), (0, padded - n)))
 
     sp = Separator(model, variables, batchsize=args.batchsize,
-                   cropsize=args.cropsize)
+                   cropsize=args.cropsize,
+                   mesh=_inference_mesh(args.data_parallel))
     svc = SeparatorService(sp, pcm16_io=True, tta=args.tta,
                            vocals_residual=True)
 
@@ -188,6 +202,7 @@ def _run_single(args, model, variables):
         batchsize=args.batchsize,
         cropsize=args.cropsize,
         postprocess=args.postprocess,
+        mesh=_inference_mesh(args.data_parallel),
     )
 
     output_dir = args.output_dir
