@@ -69,3 +69,18 @@ def flac_decode(data: bytes):
     raw, n, ch, sr, bps = mod.flac_decode(data)
     pcm = np.frombuffer(raw, "<i4").reshape(n, ch)
     return pcm, sr, bps
+
+
+def quantize_u8(a: np.ndarray):
+    """float32 array -> ({"q": uint8 array, "scale": f32}, or None when
+    the extension is unavailable). Fused max+clip+round single-stream
+    pass (the int8 batch-staging hot path)."""
+    mod = get()
+    if mod is None or not hasattr(mod, "quantize_u8"):
+        return None
+    a = np.ascontiguousarray(a, np.float32)
+    raw, scale = mod.quantize_u8(a)
+    return {
+        "q": np.frombuffer(raw, np.uint8).reshape(a.shape),
+        "scale": np.float32(scale),
+    }

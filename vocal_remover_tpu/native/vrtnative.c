@@ -197,6 +197,35 @@ static PyObject *pcm16_decode(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* quantize_u8(buffer of float32) -> (bytes of uint8, scale)
+ * Fused max-reduce + clip/scale/round in two streaming passes —
+ * replaces four numpy passes on the int8 batch-staging path. */
+static PyObject *quantize_u8(PyObject *self, PyObject *args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf)) return NULL;
+    Py_ssize_t n = buf.len / (Py_ssize_t)sizeof(float);
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n);
+    if (!out) { PyBuffer_Release(&buf); return NULL; }
+    const float *src = (const float *)buf.buf;
+    uint8_t *dst = (uint8_t *)PyBytes_AS_STRING(out);
+    float hi = 0.0f;
+    Py_BEGIN_ALLOW_THREADS;
+    for (Py_ssize_t i = 0; i < n; i++)
+        if (src[i] > hi) hi = src[i];
+    const float scale = hi > 0.0f ? hi / 255.0f : 1.0f;
+    const float inv = 1.0f / scale;
+    const float MAGIC = 12582912.0f; /* round-half-to-even, see above */
+    for (Py_ssize_t i = 0; i < n; i++) {
+        float s = src[i] * inv;
+        if (s < 0.0f) s = 0.0f;
+        if (s > 255.0f) s = 255.0f;
+        dst[i] = (uint8_t)((s + MAGIC) - MAGIC);
+    }
+    Py_END_ALLOW_THREADS;
+    float hi_out = hi > 0.0f ? hi / 255.0f : 1.0f;
+    return Py_BuildValue("(Nf)", out, (double)hi_out);
+}
+
 /* flacdec.c */
 extern PyObject *vrt_flac_decode(PyObject *self, PyObject *args);
 
@@ -207,6 +236,8 @@ static PyMethodDef Methods[] = {
      "float32 buffer -> int16 PCM bytes (clip+scale+round)"},
     {"pcm16_decode", pcm16_decode, METH_VARARGS,
      "int16 PCM buffer -> float32 bytes"},
+    {"quantize_u8", quantize_u8, METH_VARARGS,
+     "float32 buffer -> (uint8 bytes, scale): fused max+clip+round"},
     {"flac_decode", vrt_flac_decode, METH_VARARGS,
      "FLAC stream bytes -> (int32 pcm bytes, n, channels, sr, bps)"},
     {NULL, NULL, 0, NULL},

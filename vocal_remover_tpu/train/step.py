@@ -218,7 +218,13 @@ class Trainer:
     @staticmethod
     def _quantize_u8(a):
         """magnitude batch -> {"q": uint8, "scale": f32} (scale chosen
-        so 255 == batch max; device dequant = q * scale)."""
+        so 255 == batch max; device dequant = q * scale). Uses the fused
+        C kernel when built (4 numpy passes -> 2 streaming passes)."""
+        from vocal_remover_tpu import native
+
+        out = native.quantize_u8(np.asarray(a))
+        if out is not None:
+            return out
         a = np.asarray(a, np.float32)
         hi = float(a.max())
         scale = (hi / 255.0) if hi > 0 else 1.0
