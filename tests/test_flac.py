@@ -76,3 +76,20 @@ def test_audio_load_flac(ext, tmp_path):
     out2, sr2 = audio.load(p, sr=22050, mono=False)
     assert sr2 == 22050
     assert out2.shape == (2, 22050)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(residual_method=1),                       # Rice2 (5-bit params)
+    dict(partition_order=2),                       # multi-partition
+    dict(residual_method=1, partition_order=3),
+    dict(escape=True),                             # raw-bits partitions
+    dict(residual_method=1, escape=True),
+    dict(partition_order=4, escape=True),
+])
+def test_residual_coding_modes(ext, kw):
+    """Every residual decode path: Rice, Rice2, partition orders > 0,
+    and escaped raw-bits partitions."""
+    x = pcm((9000, 2))
+    data = flac.encode_flac(x, 44100, 16, method="fixed2", **kw)
+    dec, _, _ = ext.flac_decode(data)
+    np.testing.assert_array_equal(dec, x)

@@ -95,23 +95,49 @@ def _rice_param(res: np.ndarray) -> int:
     return k
 
 
-def _write_residual(bw: _BitWriter, res: np.ndarray):
-    """Rice method 0, partition order 0."""
-    bw.write(0, 2)
-    bw.write(0, 4)
-    k = _rice_param(res)
-    bw.write(k, 4)
-    for v in res.tolist():
-        u = (abs(v) << 1) - (1 if v < 0 else 0)  # zigzag
-        bw.write_unary(u >> k)
-        if k:
-            bw.write(u & ((1 << k) - 1), k)
+def _write_residual(bw: _BitWriter, res: np.ndarray, order: int,
+                    blocksize: int, method: int = 0,
+                    partition_order: int = 0, escape: bool = False):
+    """Residual coding: Rice (method 0, 4-bit params) or Rice2
+    (method 1, 5-bit params), any partition order, optionally forcing
+    escaped raw-bits partitions."""
+    assert blocksize % (1 << partition_order) == 0
+    bw.write(method, 2)
+    bw.write(partition_order, 4)
+    plen = 4 if method == 0 else 5
+    esc_code = 0xF if method == 0 else 0x1F
+    psamples = blocksize >> partition_order
+    pos = 0
+    for p in range(1 << partition_order):
+        count = psamples - (order if p == 0 else 0)
+        part = res[pos : pos + count]
+        pos += count
+        if escape:
+            bw.write(esc_code, plen)
+            raw = 1
+            if len(part):
+                raw = max(1, int(np.abs(part).max()).bit_length() + 1)
+            bw.write(raw, 5)
+            for v in part.tolist():
+                bw.write_signed(v, raw)
+            continue
+        k = min(_rice_param(part), esc_code - 1)
+        bw.write(k, plen)
+        for v in part.tolist():
+            u = (abs(v) << 1) - (1 if v < 0 else 0)  # zigzag
+            bw.write_unary(u >> k)
+            if k:
+                bw.write(u & ((1 << k) - 1), k)
 
 
 _FIXED2 = np.array([2, -1], np.int64)
 
 
-def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int, method: str):
+def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int, method: str,
+                    residual_kw: dict | None = None):
+    rkw = dict(residual_kw or {})
+    if len(x) % (1 << rkw.get("partition_order", 0)):
+        rkw["partition_order"] = 0  # last short block: order must divide
     x = x.astype(np.int64)
     bw.write(0, 1)  # padding
     if method == "auto":
@@ -134,7 +160,7 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int, method: str):
         for v in x[:order].tolist():
             bw.write_signed(v, bps)
         res = x[order:] - (2 * x[1:-1] - x[:-2])
-        _write_residual(bw, res)
+        _write_residual(bw, res, order, len(x), **rkw)
     elif method == "lpc2":
         # order-2 LPC with coefficients 2, -1 at shift 12 — numerically
         # the fixed-2 predictor, but through the LPC decode path
@@ -151,20 +177,26 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int, method: str):
             bw.write_signed(c, precision)
         pred = (coef[0] * x[1:-1] + coef[1] * x[:-2]) >> shift
         res = x[order:] - pred
-        _write_residual(bw, res)
+        _write_residual(bw, res, order, len(x), **rkw)
     else:
         raise ValueError(f"unknown subframe method {method!r}")
 
 
 def encode_flac(pcm: np.ndarray, sr: int, bps: int = 16,
                 method: str = "auto", stereo: str = "independent",
-                block: int = BLOCK) -> bytes:
+                block: int = BLOCK, residual_method: int = 0,
+                partition_order: int = 0, escape: bool = False) -> bytes:
     """(n, ch) int PCM -> FLAC stream bytes.
 
     stereo: 'independent' | 'left_side' | 'mid_side' (2 channels only).
     method: subframe strategy — 'auto', 'constant', 'verbatim',
     'fixed2', 'lpc2'.
+    residual_method: 0 = Rice (4-bit params), 1 = Rice2 (5-bit).
+    partition_order: residual partition order (2^po partitions/frame).
+    escape: force escaped raw-bits partitions instead of Rice coding.
     """
+    residual_kw = {"method": residual_method,
+                   "partition_order": partition_order, "escape": escape}
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -221,16 +253,16 @@ def encode_flac(pcm: np.ndarray, sr: int, bps: int = 16,
 
         if stereo == "independent":
             for c in range(ch):
-                _write_subframe(bw, seg[:, c], bps, method)
+                _write_subframe(bw, seg[:, c], bps, method, residual_kw)
         elif stereo == "left_side":
             side = seg[:, 0] - seg[:, 1]
-            _write_subframe(bw, seg[:, 0], bps, method)
-            _write_subframe(bw, side, bps + 1, method)
+            _write_subframe(bw, seg[:, 0], bps, method, residual_kw)
+            _write_subframe(bw, side, bps + 1, method, residual_kw)
         else:  # mid_side
             side = seg[:, 0] - seg[:, 1]
             mid = (seg[:, 0] + seg[:, 1]) >> 1
-            _write_subframe(bw, mid, bps, method)
-            _write_subframe(bw, side, bps + 1, method)
+            _write_subframe(bw, mid, bps, method, residual_kw)
+            _write_subframe(bw, side, bps + 1, method, residual_kw)
 
         bw.align()
         frame = bw.getvalue()
