@@ -111,3 +111,21 @@ def test_audio_resample_dispatch():
     # same family: tones agree loosely
     n = min(len(b), len(c))
     assert np.abs(b[:n] - c[:n]).mean() < 0.02
+
+
+def test_chunked_long_input_exact():
+    """The chunked kernel (memory guard for long songs) must be
+    bit-exact vs the single-pass kernel across chunk borders."""
+    from vocal_remover_tpu.utils import resample as rs
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(int(48000 * 50)).astype(np.float64)
+    win, delta, precision = rs._table("kaiser_fast")
+    ratio = 44100 / 48000
+    n_eng = int(len(x) * ratio)
+    assert n_eng > (1 << 20)  # actually crosses a chunk border
+    full = rs._resample_1d_wings(x, n_eng, ratio, win, delta, precision)
+    via_api = rs.resample(x, 48000, 44100)
+    np.testing.assert_array_equal(
+        via_api[:n_eng], full.astype(np.float32)[:n_eng]
+    )

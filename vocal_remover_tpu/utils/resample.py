@@ -82,45 +82,57 @@ def _resample_1d_wings(x: np.ndarray, n_out: int, ratio: float,
     """The interpolation kernel, vectorized over output samples.
 
     x: (..., n_in) float64. Returns (..., n_out) float64.
+    (The whole-array case of the chunked kernel below.)
     """
+    return _resample_1d_wings_offset(x, 0, n_out, 0, ratio, win, delta,
+                                     precision)
+
+
+def _resample_1d_wings_offset(x_seg, o0, o1, i0, ratio, win, delta,
+                              precision):
+    """Chunked variant: compute outputs [o0, o1) from the input segment
+    starting at absolute sample i0. Exact only when x_seg covers every
+    tap of every output in the range (callers pad with `margin`) OR the
+    segment border coincides with the true array border (the global
+    edges, where the short-window sums ARE the correct behavior)."""
     scale = min(ratio, 1.0)
     if scale < 1.0:
         win = win * scale
         delta = delta * scale
     index_step = int(scale * precision)
     nwin = win.shape[0]
-    n_in = x.shape[-1]
+    n_seg = x_seg.shape[-1]
 
-    t_out = np.arange(n_out, dtype=np.float64) / ratio
-    n0 = t_out.astype(np.int64)  # floor; t_out >= 0
+    t_out = np.arange(o0, o1, dtype=np.float64) / ratio
+    n0 = t_out.astype(np.int64)
+    n_loc = n0 - i0  # local index of the anchor sample
 
-    y = np.zeros(x.shape[:-1] + (n_out,), np.float64)
+    y = np.zeros(x_seg.shape[:-1] + (o1 - o0,), np.float64)
 
-    # left wing: taps at x[n0 - i], filter position scale*(frac) + i
     frac = scale * (t_out - n0)
     index_frac = frac * precision
     offset = index_frac.astype(np.int64)
     eta = index_frac - offset
     i_max_all = np.minimum(n0 + 1, (nwin - offset) // index_step)
-    for i in range(int(i_max_all.max())):
+    i_max_all = np.minimum(i_max_all, n_loc + 1)
+    for i in range(int(max(i_max_all.max(), 0))):
         ok = i < i_max_all
         idx = np.where(ok, offset + i * index_step, 0)
         w = (win[idx] + eta * delta[idx]) * ok
-        src = np.where(ok, n0 - i, 0)
-        y += w * x[..., src]
+        src = np.where(ok, n_loc - i, 0)
+        y += w * x_seg[..., src]
 
-    # right wing: taps at x[n0 + 1 + k], position scale - frac
     frac_r = scale - frac
     index_frac = frac_r * precision
     offset = index_frac.astype(np.int64)
     eta = index_frac - offset
-    k_max_all = np.minimum(n_in - n0 - 1, (nwin - offset) // index_step)
+    k_max_all = np.minimum(n_seg - n_loc - 1, (nwin - offset) // index_step)
     for k in range(int(max(k_max_all.max(), 0))):
         ok = k < k_max_all
         idx = np.where(ok, offset + k * index_step, 0)
         w = (win[idx] + eta * delta[idx]) * ok
-        src = np.where(ok, n0 + 1 + k, 0)
-        y += w * x[..., src]
+        src = np.where(ok, n_loc + 1 + k, 0)
+        y += w * x_seg[..., src]
 
     return y
 
@@ -144,9 +156,27 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int,
     n_target = int(math.ceil(n_in * ratio))
 
     win, delta, precision = _table(res_type)
-    y = _resample_1d_wings(
-        np.asarray(x, np.float64), n_engine, ratio, win, delta, precision
-    )
+    xd = np.asarray(x, np.float64)
+    # chunk the output axis: the vectorized kernel materializes
+    # ~taps x chunk doubles of temporaries (a 10-minute song would
+    # otherwise peak at hundreds of MB)
+    CHUNK = 1 << 20
+    if n_engine <= CHUNK:
+        y = _resample_1d_wings(xd, n_engine, ratio, win, delta, precision)
+    else:
+        parts = []
+        nwin = win.shape[0]
+        margin = int(nwin / precision / min(ratio, 1.0)) + 2
+        for o0 in range(0, n_engine, CHUNK):
+            o1 = min(o0 + CHUNK, n_engine)
+            # input span feeding outputs [o0, o1), plus filter margins
+            i0 = max(0, int(o0 / ratio) - margin)
+            i1 = min(n_in, int(o1 / ratio) + margin + 1)
+            seg = _resample_1d_wings_offset(
+                xd[..., i0:i1], o0, o1, i0, ratio, win, delta, precision
+            )
+            parts.append(seg)
+        y = np.concatenate(parts, axis=-1)
     if n_engine < n_target:
         pad = [(0, 0)] * (y.ndim - 1) + [(0, n_target - n_engine)]
         y = np.pad(y, pad)
