@@ -29,6 +29,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batchsizes", type=str, default="8,12,16")
     p.add_argument("--runs", type=int, default=6)
+    p.add_argument("--precision", type=str, default="default")
     args = p.parse_args(argv)
 
     import jax
@@ -39,7 +40,7 @@ def main(argv=None):
     from vocal_remover_tpu.separate.separator import Separator
 
     enable_compile_cache()
-    nn_config.set_precision("default")
+    nn_config.set_precision(args.precision)
     model = CascadedNet(2048, 1024, 32, 128)
     variables = model.init(jax.random.PRNGKey(0))
 

@@ -2,11 +2,12 @@
 """Training-throughput microbench (flagship model, one chip).
 
 Measures sustained fused-step time and audio-seconds/second of training
-for each batch staging mode (f32 / bf16 / int8), isolating the
-host-link trade the modes exist for. Synthetic magnitude batches,
-batch 4 x crop 256 (the reference's defaults, train.py:139-166).
+for each batch staging mode (f32 / bf16 / int8 host staging, plus
+`device` = device-resident dataset: crops + augmentation on-chip, only
+index/flag bytes over the link). Synthetic magnitude batches, batch 4 x
+crop 256 (the reference's defaults, train.py:139-166).
 
-Usage: python scripts/bench_train.py [--steps 20] [--modes f32,bf16,int8]
+Usage: python scripts/bench_train.py [--steps 20] [--modes f32,bf16,int8,device]
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--batchsize", type=int, default=4)
     p.add_argument("--cropsize", type=int, default=256)
-    p.add_argument("--modes", type=str, default="f32,bf16,int8")
+    p.add_argument("--modes", type=str, default="f32,bf16,int8,device")
     args = p.parse_args(argv)
 
     import jax
@@ -57,18 +58,48 @@ def main(argv=None):
         "int8": "int8",
     }
     for name in args.modes.split(","):
-        td = modes[name.strip()]
-        tr = Trainer(model, variables, learning_rate=1e-3,
-                     transfer_dtype=td, prefetch=0)
-        batches = [(X.copy(), y.copy()) for _ in range(args.warmup)]
-        tr.train_epoch(batches)  # compile + warm
-        t0 = time.time()
-        loss = tr.train_epoch(
-            [(X.copy(), y.copy()) for _ in range(args.steps)]
-        )
-        dt = (time.time() - t0) / args.steps
+        name = name.strip()
+        if name == "device":
+            from vocal_remover_tpu.data.device_cache import (
+                DeviceLoader,
+                DeviceTrainingSource,
+            )
+
+            # 2 synthetic "songs" x enough patches for warmup+steps
+            songs = [
+                (
+                    np.abs(rng.standard_normal((2, F, 2048)))
+                    .astype(np.float32),
+                    np.abs(rng.standard_normal((2, F, 2048)))
+                    .astype(np.float32),
+                )
+                for _ in range(2)
+            ]
+            n_items = (args.warmup + args.steps) * B
+            src = DeviceTrainingSource.from_magnitudes(
+                songs, cropsize=T, patches=n_items // 2
+            )
+            tr = Trainer(model, variables, learning_rate=1e-3)
+            warm = DeviceLoader(src, batchsize=B, seed=0)
+            tr.train_epoch_device(
+                src, list(warm)[: args.warmup]
+            )  # compile + warm
+            batches = list(DeviceLoader(src, batchsize=B, seed=1))
+            t0 = time.time()
+            loss = tr.train_epoch_device(src, batches[: args.steps])
+            dt = (time.time() - t0) / args.steps
+        else:
+            tr = Trainer(model, variables, learning_rate=1e-3,
+                         transfer_dtype=modes[name], prefetch=0)
+            batches = [(X.copy(), y.copy()) for _ in range(args.warmup)]
+            tr.train_epoch(batches)  # compile + warm
+            t0 = time.time()
+            loss = tr.train_epoch(
+                [(X.copy(), y.copy()) for _ in range(args.steps)]
+            )
+            dt = (time.time() - t0) / args.steps
         print(
-            f"{name:5s}: {dt * 1e3:7.1f} ms/step  "
+            f"{name:6s}: {dt * 1e3:7.1f} ms/step  "
             f"{audio_sec_per_step / dt:7.1f} audio-sec/s  "
             f"loss {loss:.5f}"
         )

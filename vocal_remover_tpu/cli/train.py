@@ -81,6 +81,13 @@ def build_parser():
                         'Default: float32 under --precision highest '
                         '(f32-faithful mode must not truncate inputs), '
                         'bfloat16 otherwise.')
+    p.add_argument('--device_data_cache', action='store_true',
+                   help='keep the whole dataset resident in device HBM '
+                        '(bf16 magnitudes) and run crops + augmentation '
+                        'inside the jitted step: ~100 bytes H2D per '
+                        'step instead of megabytes. Needs the dataset '
+                        'to fit on-chip; magnitude path only '
+                        '(no --is_complex / mixup / mono).')
     p.add_argument('--output_dir', type=str, default='models')
     return p
 
@@ -223,25 +230,60 @@ def main(argv=None):
         hop_length=args.hop_length,
         n_fft=args.n_fft,
     )
-    train_dataset = dataset.TrainingSet(
-        training_set * args.patches,
-        cropsize=args.cropsize,
-        reduction_rate=args.reduction_rate,
-        reduction_weight=reduction_weight,
-        mixup_rate=args.mixup_rate,
-        mixup_alpha=args.mixup_alpha,
-        seed=args.seed,
-        mono_rate=args.mono_rate,
-        is_complex=args.is_complex,
-    )
-    train_loader = Loader(
-        train_dataset,
-        batchsize=args.batchsize,
-        shuffle=True,
-        num_workers=args.num_workers,
-        seed=(distributed.host_seed(args.seed) if n_hosts > 1
-              else args.seed),
-    )
+    loader_seed = (distributed.host_seed(args.seed) if n_hosts > 1
+                   else args.seed)
+    device_source = None
+    if args.device_data_cache:
+        from vocal_remover_tpu.data.device_cache import (
+            DeviceLoader,
+            DeviceTrainingSource,
+        )
+
+        device_source = DeviceTrainingSource(
+            training_set * args.patches,
+            cropsize=args.cropsize,
+            reduction_rate=args.reduction_rate,
+            reduction_weight=reduction_weight,
+            mixup_rate=args.mixup_rate,
+            mono_rate=args.mono_rate,
+            is_complex=args.is_complex,
+            seed=args.seed,
+            # resident dtype follows the staging mode: f32-faithful
+            # under --precision highest, bf16 (half the HBM) otherwise
+            dtype=(jnp.float32 if transfer_dtype == 'float32'
+                   else jnp.bfloat16),
+            mesh=mesh,
+        )
+        train_loader = DeviceLoader(
+            device_source,
+            batchsize=args.batchsize,
+            shuffle=True,
+            seed=loader_seed,
+        )
+        logger.info(
+            'device-resident dataset: {} songs, {:.1f} MB HBM'.format(
+                len(training_set), device_source.nbytes / 1e6
+            )
+        )
+    else:
+        train_dataset = dataset.TrainingSet(
+            training_set * args.patches,
+            cropsize=args.cropsize,
+            reduction_rate=args.reduction_rate,
+            reduction_weight=reduction_weight,
+            mixup_rate=args.mixup_rate,
+            mixup_alpha=args.mixup_alpha,
+            seed=args.seed,
+            mono_rate=args.mono_rate,
+            is_complex=args.is_complex,
+        )
+        train_loader = Loader(
+            train_dataset,
+            batchsize=args.batchsize,
+            shuffle=True,
+            num_workers=args.num_workers,
+            seed=loader_seed,
+        )
 
     patch_list = dataset.make_validation_set(
         filelist=val_filelist,
@@ -273,7 +315,12 @@ def main(argv=None):
     log = []
     for epoch in range(start_epoch, args.epoch):
         logger.info('# epoch {}'.format(epoch))
-        train_loss = trainer.train_epoch(train_loader)
+        if device_source is not None:
+            train_loss = trainer.train_epoch_device(
+                device_source, train_loader
+            )
+        else:
+            train_loss = trainer.train_epoch(train_loader)
         val_loss = trainer.validate_epoch(val_loader)
 
         logger.info(

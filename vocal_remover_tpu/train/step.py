@@ -296,6 +296,41 @@ class Trainer:
             )
         return float(sum_loss) / max(n_samples, 1)
 
+    def train_epoch_device(self, source, index_loader) -> float:
+        """One epoch over a device-resident dataset
+        (data/device_cache.py): the host ships ~100 bytes of crop
+        indices + aug flags per step; crops and augmentations
+        materialize on the TPU. Same loss/accumulation semantics as
+        train_epoch."""
+        A = self.accumulation_steps
+        sum_loss = jnp.zeros(())
+        n_samples = 0
+        itr = -1
+        for itr, idx_batch in enumerate(index_loader):
+            blen = len(idx_batch[0])
+            Xd, yd = source.gather(*idx_batch)
+            rng = jax.random.fold_in(self.base_key, self._step_counter)
+            self._step_counter += 1
+            if A == 1:
+                loss, self.params, self.stats, self.opt_state = self._fused(
+                    self.params, self.stats, self.opt_state, Xd, yd, rng
+                )
+            else:
+                loss, self.grad_buf, self.stats = self._accum(
+                    self.params, self.stats, self.grad_buf, Xd, yd, rng
+                )
+                if (itr + 1) % A == 0:
+                    self.params, self.opt_state, self.grad_buf = self._apply(
+                        self.params, self.opt_state, self.grad_buf
+                    )
+            sum_loss = sum_loss + loss * blen
+            n_samples += blen
+        if A > 1 and itr >= 0 and (itr + 1) % A != 0:
+            self.params, self.opt_state, self.grad_buf = self._apply(
+                self.params, self.opt_state, self.grad_buf
+            )
+        return float(sum_loss) / max(n_samples, 1)
+
     def validate_epoch(self, loader) -> float:
         sum_loss = jnp.zeros(())
         n_samples = 0
