@@ -139,3 +139,45 @@ def test_aux_head(small_pair, rng):
     x = np.abs(rng.standard_normal((1, 129, 128, 2))).astype(np.float32)
     (mask, aux_mask), _ = jmod.apply(v, x, train=False, aux=True)
     assert mask.shape == aux_mask.shape == (1, 129, 128, 2)
+
+
+def test_int8_quantized_checkpoint(tmp_path, rng):
+    """save_native(quantize="int8"): ~4x smaller file, per-channel
+    error bound absmax/254 on every quantized leaf, and the dequantized
+    model's masks stay close to the f32 model's."""
+    import os
+
+    import jax
+
+    from vocal_remover_tpu.models import convert
+
+    model = CascadedNet(256, 128, 8, 16)
+    v = model.init(jax.random.PRNGKey(0))
+
+    p32 = str(tmp_path / "m.vrt.npz")
+    pq8 = str(tmp_path / "m_q8.vrt.npz")
+    convert.save_native(p32, v, convert.model_config(model))
+    convert.save_native(pq8, v, convert.model_config(model),
+                        quantize="int8")
+    assert os.path.getsize(pq8) < 0.45 * os.path.getsize(p32)
+
+    vq, config = convert.load_native(pq8)
+    assert config["arch"] == "CascadedNet"
+    flat_ref = jax.tree_util.tree_leaves_with_path(v)
+    flat_q = dict(jax.tree_util.tree_leaves_with_path(vq))
+    for path, w in flat_ref:
+        wq = flat_q[path]
+        w = np.asarray(w)
+        if w.ndim >= 2:  # quantized: per-output-channel bound
+            absmax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
+            bound = absmax / 254.0 + 1e-8
+            assert (np.abs(wq - w).reshape(-1, w.shape[-1]).max(axis=0)
+                    <= bound).all(), path
+        else:  # BN vectors / biases stay exact
+            np.testing.assert_array_equal(wq, w, err_msg=str(path))
+
+    x = np.abs(rng.standard_normal((1, 129, 160, 2))).astype(np.float32)
+    m32 = np.asarray(model(v, x))
+    mq8 = np.asarray(model(vq, x))
+    assert np.abs(mq8 - m32).max() < 0.05
+    assert np.abs(mq8 - m32).mean() < 2e-3

@@ -21,6 +21,10 @@ def build_parser():
     p.add_argument('--nout', type=int, default=32)
     p.add_argument('--nout_lstm', type=int, default=128)
     p.add_argument('--complex', action='store_true', dest='is_complex')
+    p.add_argument('--quantize', choices=['int8'], default=None,
+                   help='store conv/dense kernels as per-channel '
+                        'symmetric int8 (~4x smaller file; dequantized '
+                        'transparently on load)')
     return p
 
 
@@ -30,12 +34,22 @@ def main(argv=None):
     from vocal_remover_tpu.models import CascadedNet, convert
 
     if args.output.endswith('.npz'):
-        model = CascadedNet(args.n_fft, args.hop_length, args.nout,
-                            args.nout_lstm, args.is_complex)
-        variables = convert.load_checkpoint(args.input, model)
+        if args.input.endswith('.npz'):
+            # native input carries its model config (e.g. re-encode
+            # with --quantize); CLI flags only apply to torch inputs
+            model, variables = convert.load_model(
+                args.input, args.n_fft, args.hop_length, args.nout,
+                args.nout_lstm,
+            )
+        else:
+            model = CascadedNet(args.n_fft, args.hop_length, args.nout,
+                                args.nout_lstm, args.is_complex)
+            variables = convert.load_checkpoint(args.input, model)
         convert.save_native(args.output, variables,
-                            convert.model_config(model))
-        print(f'wrote native checkpoint {args.output}')
+                            convert.model_config(model),
+                            quantize=args.quantize)
+        tag = f' ({args.quantize} weights)' if args.quantize else ''
+        print(f'wrote native checkpoint {args.output}{tag}')
     elif args.output.endswith('.pth'):
         model, variables = convert.load_model(
             args.input, args.n_fft, args.hop_length, args.nout,

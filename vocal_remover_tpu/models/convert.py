@@ -44,12 +44,46 @@ def _unflatten(flat):
     return tree
 
 
-def save_native(path: str, variables, config: dict | None = None):
-    """Atomically write variables (+ model config) as a flat npz."""
+_Q8_SUFFIX = ".q8"
+_Q8_SCALE_SUFFIX = ".q8scale"
+
+
+def _quantize_leaf_q8(w: np.ndarray):
+    """Per-output-channel symmetric int8: q = round(w / scale), scale =
+    absmax/127 over all axes but the last (HWIO conv kernels and (in,
+    out) dense kernels both keep output channels last)."""
+    w = np.asarray(w, np.float32)
+    absmax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def save_native(path: str, variables, config: dict | None = None,
+                quantize: str | None = None):
+    """Atomically write variables (+ model config) as a flat npz.
+
+    quantize="int8": store >=2-D float leaves (conv/dense kernels — the
+    bulk of the 56 MB flagship) as per-output-channel symmetric int8
+    (~4x smaller file); 1-D leaves (BN vectors, biases) stay f32.
+    `load_native` dequantizes transparently, so quantized checkpoints
+    serve through the unchanged Separator path. Worst-case per-weight
+    error is scale/2 = channel-absmax/254 (see tests/test_models.py).
+    """
     import os
     import tempfile
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize mode {quantize!r}")
     flat = _flatten(variables)
+    if quantize == "int8":
+        for k in list(flat):
+            v = flat[k]
+            if v.ndim >= 2 and np.issubdtype(v.dtype, np.floating):
+                q, scale = _quantize_leaf_q8(v)
+                del flat[k]
+                flat[k + _Q8_SUFFIX] = q
+                flat[k + _Q8_SCALE_SUFFIX] = scale
     flat[_CONFIG_KEY] = np.frombuffer(
         json.dumps(config or {}).encode(), dtype=np.uint8
     )
@@ -67,7 +101,8 @@ def save_native(path: str, variables, config: dict | None = None):
 
 
 def load_native(path: str):
-    """-> (variables pytree of np arrays, config dict)."""
+    """-> (variables pytree of np arrays, config dict). int8-quantized
+    leaves (save_native(quantize="int8")) are dequantized to f32."""
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files if k != _CONFIG_KEY}
         config = (
@@ -75,6 +110,10 @@ def load_native(path: str):
             if _CONFIG_KEY in z.files
             else {}
         )
+    for k in [k for k in flat if k.endswith(_Q8_SUFFIX)]:
+        q = flat.pop(k)
+        scale = flat.pop(k[: -len(_Q8_SUFFIX)] + _Q8_SCALE_SUFFIX)
+        flat[k[: -len(_Q8_SUFFIX)]] = q.astype(np.float32) * scale
     return _unflatten(flat), config
 
 
