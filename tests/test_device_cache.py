@@ -137,3 +137,31 @@ def test_device_cache_on_dp_mesh(song_set):
                     mesh=m)
         losses.append(t.train_epoch_device(src, [batch]))
     assert abs(losses[0] - losses[1]) < 1e-5
+
+
+def test_device_validation_matches_host(song_set, tmp_path):
+    """Device-resident validation == host validation loss (f32)."""
+    from vocal_remover_tpu.data.device_cache import DeviceValidationSource
+
+    X_path, _, _ = song_set[0]
+    # reconstruct the (mix, inst) wav pairs from the cache paths
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(X_path)))
+    pairs = pairing.make_pair(os.path.join(root, "mixtures"),
+                              os.path.join(root, "instruments"))
+    patch_list = dataset.make_validation_set(
+        pairs[:2], cropsize=160, sr=8000, hop_length=128, n_fft=256,
+        offset=15, patch_root=str(tmp_path),
+    )
+    model = CascadedNet(256, 128, 4, 8)
+    variables = model.init(jax.random.PRNGKey(0))
+    t = Trainer(model, variables, learning_rate=1e-3, prefetch=0)
+
+    host = t.validate_epoch(
+        Loader(dataset.ValidationSet(patch_list), batchsize=3,
+               shuffle=False, num_workers=2)
+    )
+    src = DeviceValidationSource(patch_list, dtype=jnp.float32)
+    dev = t.validate_epoch_device(src, batchsize=3)
+    np.testing.assert_allclose(dev, host, rtol=1e-6)

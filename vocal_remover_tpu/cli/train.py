@@ -293,14 +293,33 @@ def main(argv=None):
         n_fft=args.n_fft,
         offset=model.offset,
     )
-    val_dataset = dataset.ValidationSet(patch_list=patch_list,
-                                        is_complex=args.is_complex)
-    val_loader = Loader(
-        val_dataset,
-        batchsize=args.val_batchsize,
-        shuffle=False,
-        num_workers=args.num_workers,
-    )
+    val_source = None
+    if device_source is not None:
+        from vocal_remover_tpu.data.device_cache import (
+            DeviceValidationSource,
+        )
+
+        val_source = DeviceValidationSource(
+            patch_list,
+            is_complex=args.is_complex,
+            dtype=(jnp.float32 if transfer_dtype == 'float32'
+                   else jnp.bfloat16),
+            mesh=mesh,
+        )
+        val_loader = None
+        logger.info(
+            'device-resident validation: {} patches, {:.1f} MB HBM'
+            .format(len(val_source), val_source.nbytes / 1e6)
+        )
+    else:
+        val_dataset = dataset.ValidationSet(patch_list=patch_list,
+                                            is_complex=args.is_complex)
+        val_loader = Loader(
+            val_dataset,
+            batchsize=args.val_batchsize,
+            shuffle=False,
+            num_workers=args.num_workers,
+        )
 
     start_epoch = 0
     best_loss = np.inf
@@ -321,7 +340,12 @@ def main(argv=None):
             )
         else:
             train_loss = trainer.train_epoch(train_loader)
-        val_loss = trainer.validate_epoch(val_loader)
+        if val_source is not None:
+            val_loss = trainer.validate_epoch_device(
+                val_source, args.val_batchsize
+            )
+        else:
+            val_loss = trainer.validate_epoch(val_loader)
 
         logger.info(
             '  * training loss = {:.6f}, validation loss = {:.6f}'

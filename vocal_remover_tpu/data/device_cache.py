@@ -69,6 +69,26 @@ def _gather_batch(X_all, y_all, rweight, starts, reduct, swap, inst,
     return jax.vmap(one)(starts, reduct, swap, inst)
 
 
+def _check_hbm_fit(nbytes: int, frac: float = 0.6):
+    """Fail fast with a clear message when the resident dataset would
+    not leave room for the model + activations (the host path is the
+    fallback for datasets that outgrow HBM)."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+    except Exception:
+        limit = None
+    if limit and nbytes > frac * limit:
+        raise ValueError(
+            f"device-resident dataset needs {nbytes / 1e9:.2f} GB but "
+            f"the device reports {limit / 1e9:.2f} GB HBM; drop "
+            "--device_data_cache (host data path streams from disk) or "
+            "use the bf16 resident dtype"
+        )
+
+
 class DeviceTrainingSource:
     """All songs' normalized magnitude spectrograms resident on device.
 
@@ -164,6 +184,7 @@ class DeviceTrainingSource:
             reduction_weight = np.zeros((X_all.shape[1], 1), np.float32)
         rw = np.asarray(reduction_weight, np.float32).reshape(-1, 1)
 
+        _check_hbm_fit(self.nbytes)
         put = jax.device_put
         if mesh is not None:
             from vocal_remover_tpu.parallel import mesh as mesh_lib
@@ -241,6 +262,57 @@ class DeviceTrainingSource:
             )
         return fn(self.X_all, self.y_all, self.rweight,
                   starts, reduct, swap, inst)
+
+
+class DeviceValidationSource:
+    """Fixed validation windows resident on device.
+
+    The host path re-uploads every validation patch each epoch
+    (dataset.ValidationSet + Loader); for corpora that fit in HBM the
+    patches are uploaded once and epochs slice them in place. Magnitude
+    mode only (same gate as DeviceTrainingSource).
+    """
+
+    def __init__(self, patch_list, is_complex=False, dtype=None,
+                 mesh=None):
+        if is_complex:
+            raise ValueError(
+                "device-resident validation holds magnitudes; complex "
+                "mode needs the host path (ValidationSet)"
+            )
+        import jax
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = jnp.bfloat16
+        Xs, ys = [], []
+        for p in patch_list:
+            data = np.load(p)
+            Xs.append(np.abs(data["X"]).astype(np.float32))
+            ys.append(np.abs(data["y"]).astype(np.float32))
+        X = np.stack(Xs) if Xs else np.zeros((0, 2, 1, 1), np.float32)
+        y = np.stack(ys) if ys else np.zeros((0, 2, 1, 1), np.float32)
+        self.nbytes = X.size * np.dtype(dtype).itemsize * 2
+        _check_hbm_fit(self.nbytes)
+        put = jax.device_put
+        if mesh is not None:
+            from vocal_remover_tpu.parallel import mesh as mesh_lib
+
+            rep = mesh_lib.replicated(mesh)
+            put = lambda a: jax.device_put(a, rep)  # noqa: E731
+        self.X = put(jnp.asarray(X, dtype))
+        self.y = put(jnp.asarray(y, dtype))
+
+    def __len__(self):
+        return int(self.X.shape[0])
+
+    def batches(self, batchsize: int):
+        """(X_slice, y_slice, n) device batches, in order (validation
+        is deterministic — reference train.py:269 shuffle=False)."""
+        n = len(self)
+        for i in range(0, n, batchsize):
+            j = min(i + batchsize, n)
+            yield self.X[i:j], self.y[i:j], j - i
 
 
 class DeviceLoader:

@@ -339,3 +339,14 @@ class Trainer:
             sum_loss = sum_loss + loss * blen
             n_samples += blen
         return float(sum_loss) / max(n_samples, 1)
+
+    def validate_epoch_device(self, source, batchsize: int) -> float:
+        """Validation over a DeviceValidationSource: patches stay
+        resident on device; no per-epoch host uploads."""
+        sum_loss = jnp.zeros(())
+        n_samples = 0
+        for Xd, yd, blen in source.batches(batchsize):
+            loss = self._eval(self.params, self.stats, Xd, yd)
+            sum_loss = sum_loss + loss * blen
+            n_samples += blen
+        return float(sum_loss) / max(n_samples, 1)
