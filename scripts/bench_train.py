@@ -32,16 +32,20 @@ def main(argv=None):
     p.add_argument("--batchsize", type=int, default=4)
     p.add_argument("--cropsize", type=int, default=256)
     p.add_argument("--modes", type=str, default="f32,bf16,int8,device")
+    p.add_argument("--precision", type=str, default="default",
+                   choices=["highest", "default", "bfloat16"])
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
+    from vocal_remover_tpu import enable_compile_cache
     from vocal_remover_tpu.models import CascadedNet
     from vocal_remover_tpu.nn import config as nn_config
     from vocal_remover_tpu.train.step import Trainer
 
-    nn_config.set_precision("default")
+    enable_compile_cache()
+    nn_config.set_precision(args.precision)
     model = CascadedNet(2048, 1024, 32, 128)
     variables = model.init(jax.random.PRNGKey(0))
 

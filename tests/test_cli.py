@@ -169,6 +169,30 @@ def _small_model_parser(train_cli):
     return patched
 
 
+def test_train_cli_device_data_cache(dataset_dir, tmp_path, monkeypatch):
+    """The device-resident data path through the real CLI: one epoch,
+    checkpoint written, finite losses (train + validation both run from
+    HBM-resident magnitudes)."""
+    from vocal_remover_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        train_cli, "build_parser", _small_model_parser(train_cli)
+    )
+    out = str(tmp_path / "models")
+    train_cli.main([
+        "-d", dataset_dir, "--debug", "-E", "1", "-B", "2", "-p", "2",
+        "-C", "256", "-c", "256", "-w", "2", "-v", "0.5",
+        "--output_dir", out, "--device_data_cache",
+    ])
+    files = os.listdir(out)
+    assert any(f.startswith("model_iter0") for f in files)
+    losses = [f for f in os.listdir(tmp_path) if f.startswith("loss_")]
+    with open(os.path.join(tmp_path, losses[0])) as f:
+        log = json.load(f)
+    assert len(log) == 1 and all(np.isfinite(log[0]))
+
+
 def test_train_cli_resume(dataset_dir, tmp_path, monkeypatch):
     from vocal_remover_tpu.cli import train as train_cli
 

@@ -70,7 +70,12 @@ def build_parser():
     p.add_argument('--resume', type=str, default=None,
                    help='full train-state checkpoint to resume from')
     p.add_argument('--precision', type=str, default='highest',
-                   choices=['highest', 'default'])
+                   choices=['highest', 'default', 'bfloat16'],
+                   help='highest = f32-faithful (parity with the '
+                        'reference); default = bf16 MXU multiplies, '
+                        'f32 activations; bfloat16 = bf16 activations '
+                        'end-to-end (experimental mixed-precision '
+                        'training, ~10%% faster steps)')
     p.add_argument('--transfer_dtype', type=str, default=None,
                    choices=['float32', 'bfloat16', 'int8'],
                    help='dtype for host->device batch staging (bf16 '

@@ -124,6 +124,15 @@ class DeviceTrainingSource:
         self._epoch = 0
         self.training_set = training_set
 
+        if not training_set:
+            # the host path inherits the reference's quirk of silently
+            # iterating zero batches when int(n_songs * val_rate) == 0
+            # sweeps everything into val (reference dataset.py:177-180);
+            # a resident dataset with no songs is more useful as an error
+            raise ValueError(
+                "device-resident dataset: the training filelist is "
+                "empty (check --val_rate / --split_mode)"
+            )
         if _mags is not None:  # from_magnitudes path
             songs_mags, item_song = _mags
         else:
