@@ -29,7 +29,6 @@ Prints ONE JSON line:
 """
 
 import json
-import os
 import statistics
 import time
 
@@ -49,15 +48,9 @@ def main():
 
     # persistent compile cache: repeat bench runs skip the (remote,
     # 3-6 min) whole-pipeline compile when the backend supports it
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_bench_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    from vocal_remover_tpu import enable_compile_cache
+
+    enable_compile_cache(".jax_bench_cache")
 
     from vocal_remover_tpu.models import CascadedNet
     from vocal_remover_tpu.nn import config as nn_config

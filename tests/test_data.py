@@ -225,3 +225,33 @@ def test_get_oracle_data(rng):
     ox, oy, idx = dataset.get_oracle_data(X, y, loss, 0.4, 0.2, rng)
     assert len(ox) == 4
     assert set(idx).issubset(set(range(5, 10)))  # top-5 by loss
+
+
+def test_loader_resume_continues_stream(song_dir):
+    """set_epoch(e) reproduces exactly the batches an uninterrupted run
+    yields at epoch e (both shuffle order and per-item draws are pure
+    functions of (seed, epoch)) — the --resume contract."""
+    root, sr = song_dir
+    pairs = pairing.make_pair(str(root / "mixtures"), str(root / "instruments"))
+    tset = cache.make_training_set(pairs, sr, 128, 256)
+
+    def make():
+        ds = dataset.TrainingSet(
+            tset * 2, cropsize=32, reduction_rate=0, reduction_weight=None,
+            mixup_rate=0, mixup_alpha=1, seed=3,
+        )
+        return Loader(ds, batchsize=2, shuffle=True, num_workers=2, seed=9)
+
+    full = make()
+    for _ in range(2):  # consume epochs 0, 1
+        list(full)
+    epoch2 = [b for b in full]
+
+    resumed = make()
+    resumed.set_epoch(2)
+    epoch2_resumed = [b for b in resumed]
+
+    assert len(epoch2) == len(epoch2_resumed)
+    for (Xa, ya), (Xb, yb) in zip(epoch2, epoch2_resumed):
+        np.testing.assert_array_equal(Xa, Xb)
+        np.testing.assert_array_equal(ya, yb)

@@ -93,3 +93,24 @@ def test_residual_coding_modes(ext, kw):
     data = flac.encode_flac(x, 44100, 16, method="fixed2", **kw)
     dec, _, _ = ext.flac_decode(data)
     np.testing.assert_array_equal(dec, x)
+
+
+def test_encoder_clamps_excessive_partition_order(tmp_path):
+    """partition orders that would leave partition 0 with < 1 residual
+    (block >> po <= predictor order) are clamped, not written corrupt."""
+    from vocal_remover_tpu.utils import flac as flac_mod
+
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal((4096 + 100, 2)) * 2000).astype(np.int32)
+    data = flac_mod.encode_flac(
+        pcm, 8000, bps=16, method="fixed2", partition_order=12
+    )
+    from vocal_remover_tpu import native
+
+    decoded = native.flac_decode(data)
+    if decoded is None:
+        import pytest
+
+        pytest.skip("native FLAC decoder unavailable")
+    out, sr, bps = decoded
+    np.testing.assert_array_equal(out, pcm)

@@ -129,3 +129,19 @@ def test_chunked_long_input_exact():
     np.testing.assert_array_equal(
         via_api[:n_eng], full.astype(np.float32)[:n_eng]
     )
+
+
+def test_chunked_path_matches_unchunked(monkeypatch):
+    """The long-signal chunked path must equal the one-shot kernel
+    bit-for-bit, including outputs at chunk boundaries (the margin must
+    cover every tap the kernel's floored index_step can reach)."""
+    from vocal_remover_tpu.utils import resample as rs
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(120000).astype(np.float32)
+    for res_type in ("kaiser_fast", "kaiser_best"):
+        ref = rs.resample(x, 44100, 8000, res_type=res_type)
+        monkeypatch.setattr(rs, "_CHUNK", 4096)
+        out = rs.resample(x, 44100, 8000, res_type=res_type)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(out, ref)

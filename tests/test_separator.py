@@ -164,3 +164,22 @@ def test_energy_conservation(pair):
     np.testing.assert_allclose(
         y_spec + v_spec, X_spec, atol=1e-4 * np.abs(X_spec).max()
     )
+
+
+def test_fn_cache_bounded_lru():
+    """The per-instance executable cache is a bounded LRU: feeding many
+    distinct song lengths must not accumulate compiled programs."""
+    from vocal_remover_tpu.models.cascaded import CascadedNet
+    from vocal_remover_tpu.separate.separator import Separator
+
+    import jax
+
+    model = CascadedNet(64, 32, 4, 8)
+    variables = model.init(jax.random.PRNGKey(0))
+    sep = Separator(model, variables, batchsize=2, cropsize=160)
+    for i in range(20):
+        sep._cached_fn(("wave", 1000 + i, False, True, True), lambda: i)
+    assert len(sep._fn_cache) == sep._fn_cache_max
+    # most-recently-used keys survive
+    assert ("wave", 1019, False, True, True) in sep._fn_cache
+    assert ("wave", 1000, False, True, True) not in sep._fn_cache

@@ -82,3 +82,13 @@ def test_streaming_constant_compile(small, rng):
     # a different length reuses the very same compiled function
     stream.separate_wave(wave[:, : 16000 * 3])
     assert stream._segment_fn() is fn
+
+
+def test_streaming_rejects_complex_models():
+    from vocal_remover_tpu.models.cascaded import CascadedNet
+    from vocal_remover_tpu.separate.streaming import StreamingSeparator
+
+    model = CascadedNet(64, 32, 4, 8, is_complex=True)
+    variables = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        StreamingSeparator(model, variables)

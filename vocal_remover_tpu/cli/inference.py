@@ -214,8 +214,11 @@ def _run_single(args, model, variables):
     vocal_path = '{}{}_Vocals.wav'.format(output_dir, basename)
 
     long_audio = X.shape[-1] > 20 * 60 * sr
+    # the streamed path is magnitude-mask only; complex checkpoints
+    # take the monolithic device pipeline regardless of length
     if (args.stream or long_audio) and not args.tta \
-            and not args.postprocess and not args.output_image:
+            and not args.postprocess and not args.output_image \
+            and not model.is_complex:
         from vocal_remover_tpu.separate.streaming import StreamingSeparator
 
         with _stage('separate (streamed segments)'):

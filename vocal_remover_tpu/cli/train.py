@@ -239,6 +239,16 @@ def main(argv=None):
                    else args.seed)
     device_source = None
     if args.device_data_cache:
+        if n_hosts > 1:
+            # each host holds a different song shard, so the resident
+            # arrays would differ per process while claiming a
+            # replicated global-mesh sharding — a collective mismatch.
+            # Per-host device caches need host-local meshes (future
+            # work); the host data path handles multi-host today.
+            raise SystemExit(
+                '--device_data_cache is single-host only; multi-host '
+                'runs use the host data path'
+            )
         from vocal_remover_tpu.data.device_cache import (
             DeviceLoader,
             DeviceTrainingSource,
@@ -333,6 +343,10 @@ def main(argv=None):
             args.resume, trainer, scheduler
         )
         start_epoch += 1
+        # continue the exact crop/augmentation stream an uninterrupted
+        # run would have produced (shuffle + per-item draws are pure
+        # functions of (seed, epoch))
+        train_loader.set_epoch(start_epoch)
         logger.info(f'resumed from {args.resume} at epoch {start_epoch}')
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -69,10 +69,19 @@ def _gather_batch(X_all, y_all, rweight, starts, reduct, swap, inst,
     return jax.vmap(one)(starts, reduct, swap, inst)
 
 
+# bytes claimed by resident sources this process (train + validation
+# sources are checked jointly; never decremented — sources live for the
+# whole training run)
+_RESIDENT_BYTES = 0
+
+
 def _check_hbm_fit(nbytes: int, frac: float = 0.6):
-    """Fail fast with a clear message when the resident dataset would
+    """Fail fast with a clear message when the resident datasets would
     not leave room for the model + activations (the host path is the
-    fallback for datasets that outgrow HBM)."""
+    fallback for datasets that outgrow HBM). Counts ALL sources built
+    in this process, so a train corpus and a validation corpus that fit
+    individually still trip the guard jointly."""
+    global _RESIDENT_BYTES
     import jax
 
     try:
@@ -80,13 +89,16 @@ def _check_hbm_fit(nbytes: int, frac: float = 0.6):
         limit = stats.get("bytes_limit")
     except Exception:
         limit = None
-    if limit and nbytes > frac * limit:
+    total = _RESIDENT_BYTES + nbytes
+    if limit and total > frac * limit:
         raise ValueError(
-            f"device-resident dataset needs {nbytes / 1e9:.2f} GB but "
-            f"the device reports {limit / 1e9:.2f} GB HBM; drop "
+            f"device-resident datasets need {total / 1e9:.2f} GB "
+            f"({nbytes / 1e9:.2f} GB for this one) but the device "
+            f"reports {limit / 1e9:.2f} GB HBM; drop "
             "--device_data_cache (host data path streams from disk) or "
             "use the bf16 resident dtype"
         )
+    _RESIDENT_BYTES += nbytes
 
 
 class DeviceTrainingSource:
@@ -334,9 +346,14 @@ class DeviceLoader:
         self.source = source
         self.batchsize = batchsize
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Position at `epoch` (resume support) — same per-epoch
+        derived order as Loader.set_epoch."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.source)
@@ -345,12 +362,13 @@ class DeviceLoader:
         return -(-n // self.batchsize)
 
     def __iter__(self):
-        self.source.set_epoch(self._epoch)
+        epoch = self._epoch
+        self.source.set_epoch(epoch)
         self._epoch += 1
         n = len(self.source)
         order = np.arange(n)
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.default_rng((0x0BD5, self.seed, epoch)).shuffle(order)
         for i in range(0, n, self.batchsize):
             b = order[i : i + self.batchsize]
             if self.drop_last and len(b) < self.batchsize:

@@ -23,11 +23,18 @@ class Loader:
         self.batchsize = batchsize
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.epoch_multiplier = epoch_multiplier
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Position the loader at `epoch` (e.g. after --resume): both
+        the shuffle order and the dataset's per-item draws are pure
+        functions of (seed, epoch), so a resumed run continues the
+        exact stream an uninterrupted run would have produced."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset) * self.epoch_multiplier
@@ -39,11 +46,13 @@ class Loader:
     def num_samples(self):
         return len(self.dataset) * self.epoch_multiplier
 
-    def _batches(self):
+    def _batches(self, epoch: int):
         n = self.num_samples
         order = np.arange(n)
         if self.shuffle:
-            self.rng.shuffle(order)
+            # per-epoch derived rng (not sequential generator state) so
+            # set_epoch(e) reproduces epoch e's order exactly
+            np.random.default_rng((0x0BD5, self.seed, epoch)).shuffle(order)
         for i in range(0, n, self.batchsize):
             b = order[i : i + self.batchsize]
             if self.drop_last and len(b) < self.batchsize:
@@ -54,8 +63,9 @@ class Loader:
         # advance the dataset's per-item RNG stream: epoch e draws are a
         # pure function of (seed, e, idx), so batches are identical for
         # any num_workers (see dataset.TrainingSet._item_rng)
+        epoch = self._epoch
         if hasattr(self.dataset, "set_epoch"):
-            self.dataset.set_epoch(self._epoch)
+            self.dataset.set_epoch(epoch)
         self._epoch += 1
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -64,7 +74,7 @@ class Loader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idxs in self._batches():
+                    for idxs in self._batches(epoch):
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, idxs))

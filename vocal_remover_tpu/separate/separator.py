@@ -66,21 +66,33 @@ class Separator:
         self.postprocess = postprocess
         # per-instance cache of jitted executables; dies with the
         # instance (an lru_cache on the bound methods would key a global
-        # cache on `self` and pin weights + executables alive forever)
+        # cache on `self` and pin weights + executables alive forever).
+        # Bounded: whole-song executables key on exact sample counts, so
+        # a long-lived instance fed many distinct lengths would
+        # otherwise accumulate compiled programs without limit.
         self._fn_cache: dict = {}
+        self._fn_cache_max = 8
 
     # ------------------------------------------------------------------
     # jitted core: padded (re, im) -> stitched mask
     # ------------------------------------------------------------------
 
-    def _forward_fn(self, padded_frames: int, roi_size: int):
-        key = ("fwd", padded_frames, roi_size)
-        fn = self._fn_cache.get(key)
+    def _cached_fn(self, key, build):
+        """LRU over the jitted-executable cache (move-to-back on hit,
+        evict oldest past _fn_cache_max)."""
+        fn = self._fn_cache.pop(key, None)
         if fn is None:
-            fn = self._fn_cache[key] = self._build_forward_fn(
-                padded_frames, roi_size
-            )
+            fn = build()
+            while len(self._fn_cache) >= self._fn_cache_max:
+                self._fn_cache.pop(next(iter(self._fn_cache)))
+        self._fn_cache[key] = fn
         return fn
+
+    def _forward_fn(self, padded_frames: int, roi_size: int):
+        return self._cached_fn(
+            ("fwd", padded_frames, roi_size),
+            lambda: self._build_forward_fn(padded_frames, roi_size),
+        )
 
     def _build_forward_fn(self, padded_frames: int, roi_size: int):
         crop, off, bs = self.cropsize, self.offset, self.batchsize
@@ -180,13 +192,12 @@ class Separator:
 
     def _wave_fn(self, n_samples: int, tta: bool, pcm16_io: bool,
                  only_instruments: bool = False):
-        key = ("wave", n_samples, tta, pcm16_io, only_instruments)
-        fn = self._fn_cache.get(key)
-        if fn is None:
-            fn = self._fn_cache[key] = self._build_wave_fn(
+        return self._cached_fn(
+            ("wave", n_samples, tta, pcm16_io, only_instruments),
+            lambda: self._build_wave_fn(
                 n_samples, tta, pcm16_io, only_instruments
-            )
-        return fn
+            ),
+        )
 
     def _build_wave_fn(self, n_samples: int, tta: bool, pcm16_io: bool,
                        only_instruments: bool = False):

@@ -48,6 +48,12 @@ class StreamingSeparator:
         SeparatorService's same option). pipeline_depth: how many
         segments the upload/dispatch stage may run ahead of the
         download stage."""
+        if getattr(model, "is_complex", False):
+            raise ValueError(
+                "StreamingSeparator feeds magnitude patches and applies "
+                "the mask as a real multiplier; complex-mask "
+                "checkpoints separate through Separator instead"
+            )
         self.model = model
         self.variables = jax.device_put(variables)
         self.bs = batchsize
@@ -282,10 +288,26 @@ class StreamingSeparator:
         import threading as _threading
 
         q: _queue.Queue = _queue.Queue(maxsize=self.pipeline_depth)
+        stop = _threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer has stopped —
+            # otherwise a drain()-side error would leave this thread
+            # blocked on the full queue forever (plus its in-flight
+            # device buffers)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for k in range(n_segments):
+                    if stop.is_set():
+                        return
                     a = k * K  # first owned patch
                     # segment frames (orig coords): [(a-1)*roi - off, …)
                     f0 = (a - 1) * roi - off
@@ -299,20 +321,24 @@ class StreamingSeparator:
                     p0 = a * roi * hop
                     outs = run(win, valid, inv_scale,
                                self.variables)  # async dispatch
-                    q.put((p0, outs))
+                    if not _put((p0, outs)):
+                        return
             except BaseException as e:  # surface in the consumer
-                q.put(e)
+                _put(e)
                 return
-            q.put(None)
+            _put(None)
 
         _threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            drain(item)
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                drain(item)
+        finally:
+            stop.set()
         # the centered iSTFT's natural length is hop*(n_frame-1); the
         # monolithic path zero-pads beyond it (ops/stft.py istft length
         # handling) — reproduce that tail exactly

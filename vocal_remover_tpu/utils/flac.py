@@ -101,6 +101,15 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, order: int,
     """Residual coding: Rice (method 0, 4-bit params) or Rice2
     (method 1, 5-bit params), any partition order, optionally forcing
     escaped raw-bits partitions."""
+    # a legal partition order must divide the block AND leave the first
+    # partition at least one sample after the predictor warm-up
+    # (partition 0 holds psamples - order residuals); clamp instead of
+    # emitting a stream our own decoder rejects (count < 0)
+    while partition_order > 0 and (
+        blocksize % (1 << partition_order) != 0
+        or (blocksize >> partition_order) <= order
+    ):
+        partition_order -= 1
     assert blocksize % (1 << partition_order) == 0
     bw.write(method, 2)
     bw.write(partition_order, 4)

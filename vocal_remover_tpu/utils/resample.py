@@ -137,6 +137,11 @@ def _resample_1d_wings_offset(x_seg, o0, o1, i0, ratio, win, delta,
     return y
 
 
+# output-axis chunk size for the long-signal path (module-level so
+# tests can shrink it to exercise chunk boundaries cheaply)
+_CHUNK = 1 << 20
+
+
 def resample(x: np.ndarray, orig_sr: int, target_sr: int,
              res_type: str = "kaiser_fast") -> np.ndarray:
     """Resample (..., L) along the last axis; float32 out.
@@ -160,13 +165,18 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int,
     # chunk the output axis: the vectorized kernel materializes
     # ~taps x chunk doubles of temporaries (a 10-minute song would
     # otherwise peak at hundreds of MB)
-    CHUNK = 1 << 20
+    CHUNK = _CHUNK
     if n_engine <= CHUNK:
         y = _resample_1d_wings(xd, n_engine, ratio, win, delta, precision)
     else:
         parts = []
         nwin = win.shape[0]
-        margin = int(nwin / precision / min(ratio, 1.0)) + 2
+        # per-wing tap count exactly as the kernel bounds it:
+        # (nwin - offset) // index_step with index_step FLOORED
+        # (a fractional-step estimate undercounts and would clip the
+        # outermost taps at chunk boundaries)
+        index_step = max(1, int(min(ratio, 1.0) * precision))
+        margin = nwin // index_step + 2
         for o0 in range(0, n_engine, CHUNK):
             o1 = min(o0 + CHUNK, n_engine)
             # input span feeding outputs [o0, o1), plus filter margins
