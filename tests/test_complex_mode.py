@@ -139,3 +139,34 @@ def test_complex_train_checkpoint_separate_roundtrip(tmp_path):
         stft_ops.istft_np(X_spec, 256, 128, length=wave.shape[-1]),
         atol=1e-3,
     )
+
+
+def test_complex_checkpoint_stream_flag_falls_back(tmp_path):
+    """--stream with a complex checkpoint must not route to the
+    magnitude-only StreamingSeparator (cli/inference.py guard): the
+    monolithic complex path runs and writes both stems."""
+    import os
+
+    from vocal_remover_tpu.cli import inference as inf_cli
+    from vocal_remover_tpu.models import convert
+    from vocal_remover_tpu.utils import audio
+
+    model = CascadedNet(256, 128, 4, 8, is_complex=True)
+    variables = model.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "cx.vrt.npz")
+    convert.save_native(ckpt, variables, convert.model_config(model))
+
+    sr = 8000
+    t = np.arange(sr * 4) / sr
+    wave = np.stack([
+        0.4 * np.sin(2 * np.pi * 220 * t),
+        0.4 * np.sin(2 * np.pi * 330 * t),
+    ]).astype(np.float32)
+    song = str(tmp_path / "song.wav")
+    audio.write_wav(song, wave, sr)
+
+    out = str(tmp_path / "sep")
+    inf_cli.main(["-P", ckpt, "-i", song, "-r", str(sr), "-f", "256",
+                  "-H", "128", "-o", out, "--stream"])
+    assert os.path.exists(os.path.join(out, "song_Instruments.wav"))
+    assert os.path.exists(os.path.join(out, "song_Vocals.wav"))

@@ -86,6 +86,11 @@ def build_parser():
                         'Default: float32 under --precision highest '
                         '(f32-faithful mode must not truncate inputs), '
                         'bfloat16 otherwise.')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize band-net stages in the backward '
+                        'pass (jax.checkpoint): ~1 extra forward of '
+                        'FLOPs for a large peak-activation-memory cut; '
+                        'use for batch/cropsize configs that OOM')
     p.add_argument('--device_data_cache', action='store_true',
                    help='keep the whole dataset resident in device HBM '
                         '(bf16 magnitudes) and run crops + augmentation '
@@ -210,6 +215,7 @@ def main(argv=None):
             else None
         ),
         aux_lambda=args.aux_lambda,
+        remat=args.remat,
     )
     scheduler = ReduceLROnPlateau(
         lr=args.learning_rate,

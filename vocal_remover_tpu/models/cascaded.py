@@ -97,13 +97,25 @@ class CascadedNet:
             return [None] * 5
         return list(jax.random.split(rng, 5))
 
-    def apply(self, v, x, *, train=False, rng=None, aux=False):
+    def apply(self, v, x, *, train=False, rng=None, aux=False,
+              remat=False):
         """Forward pass: (N, output_bin, T, nin) -> sigmoid mask of the
         same shape. With aux=True, additionally returns the deep-
         supervision mask from the aux head (reference nets.py:80 has the
-        head but never calls it; we expose it as an option)."""
+        head but never calls it; we expose it as an option).
+
+        remat=True wraps each band-net stage in `jax.checkpoint`:
+        backward recomputes the stage instead of keeping its activations
+        live, trading ~1 extra forward of FLOPs for the peak-memory
+        headroom that enables large batch x cropsize training."""
         rngs = self._rngs(rng)
         nv = {}
+
+        def stage(net, vs, xin, r=None):
+            fn = lambda vv, xx: net.apply(vv, xx, train=train, rng=r)  # noqa: E731
+            if remat:
+                fn = jax.checkpoint(fn)
+            return fn(vs, xin)
 
         x = x[:, : self.max_bin]
 
@@ -111,33 +123,33 @@ class CascadedNet:
         l1_in = x[:, :bandw]
         h1_in = x[:, bandw:]
 
-        l1, nv["stg1_low_band_net"] = self.stg1_low_band_net.apply(
-            v["stg1_low_band_net"], l1_in, train=train, rng=rngs[0]
+        l1, nv["stg1_low_band_net"] = stage(
+            self.stg1_low_band_net, v["stg1_low_band_net"], l1_in, rngs[0]
         )
         l1, nv["stg1_low_squeeze"] = self.stg1_low_squeeze.apply(
             v["stg1_low_squeeze"], l1, train=train
         )
-        h1, nv["stg1_high_band_net"] = self.stg1_high_band_net.apply(
-            v["stg1_high_band_net"], h1_in, train=train, rng=rngs[1]
+        h1, nv["stg1_high_band_net"] = stage(
+            self.stg1_high_band_net, v["stg1_high_band_net"], h1_in, rngs[1]
         )
         aux1 = jnp.concatenate([l1, h1], axis=1)
 
         l2_in = jnp.concatenate([l1_in, l1], axis=-1)
         h2_in = jnp.concatenate([h1_in, h1], axis=-1)
-        l2, nv["stg2_low_band_net"] = self.stg2_low_band_net.apply(
-            v["stg2_low_band_net"], l2_in, train=train, rng=rngs[2]
+        l2, nv["stg2_low_band_net"] = stage(
+            self.stg2_low_band_net, v["stg2_low_band_net"], l2_in, rngs[2]
         )
         l2, nv["stg2_low_squeeze"] = self.stg2_low_squeeze.apply(
             v["stg2_low_squeeze"], l2, train=train
         )
-        h2, nv["stg2_high_band_net"] = self.stg2_high_band_net.apply(
-            v["stg2_high_band_net"], h2_in, train=train, rng=rngs[3]
+        h2, nv["stg2_high_band_net"] = stage(
+            self.stg2_high_band_net, v["stg2_high_band_net"], h2_in, rngs[3]
         )
         aux2 = jnp.concatenate([l2, h2], axis=1)
 
         f3_in = jnp.concatenate([x, aux1, aux2], axis=-1)
-        f3, nv["stg3_full_band_net"] = self.stg3_full_band_net.apply(
-            v["stg3_full_band_net"], f3_in, train=train, rng=rngs[4]
+        f3, nv["stg3_full_band_net"] = stage(
+            self.stg3_full_band_net, v["stg3_full_band_net"], f3_in, rngs[4]
         )
 
         mask = self._head(v["out"]["conv"], f3)

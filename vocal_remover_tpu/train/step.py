@@ -36,11 +36,15 @@ from vocal_remover_tpu.train.prefetch import device_prefetch
 class Trainer:
     def __init__(self, model, variables, learning_rate, accumulation_steps=1,
                  mesh=None, seed=0, dropout=True, transfer_dtype=None,
-                 prefetch=2, aux_lambda=0.0):
+                 prefetch=2, aux_lambda=0.0, remat=False):
         self.model = model
         self.accumulation_steps = accumulation_steps
         self.mesh = mesh
         self.dropout = dropout  # False => deterministic training (no dropout)
+        # rematerialize band-net stages in backward (jax.checkpoint):
+        # ~1 extra forward of FLOPs for a large peak-memory cut — for
+        # batch x cropsize configs that otherwise OOM
+        self.remat = bool(remat)
         # deep supervision: weight of the aux-head mask loss (the
         # reference carries the aux_out head but never trains it,
         # nets.py:80 — exposed here as a real option)
@@ -129,7 +133,8 @@ class Trainer:
             rng = None
         if self.aux_lambda > 0:
             (mask, aux_mask), new_vars = self.model.apply(
-                variables, Xh, train=True, rng=rng, aux=True
+                variables, Xh, train=True, rng=rng, aux=True,
+                remat=self.remat
             )
             loss = self._mask_loss(mask, Xh, yh)
             loss = loss + self.aux_lambda * self._mask_loss(
@@ -137,7 +142,7 @@ class Trainer:
             )
         else:
             mask, new_vars = self.model.apply(
-                variables, Xh, train=True, rng=rng
+                variables, Xh, train=True, rng=rng, remat=self.remat
             )
             loss = self._mask_loss(mask, Xh, yh)
         _, new_stats = partition(new_vars)
