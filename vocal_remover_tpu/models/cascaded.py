@@ -111,7 +111,7 @@ class CascadedNet:
         rngs = self._rngs(rng)
         nv = {}
 
-        def stage(net, vs, xin, r=None):
+        def stage(net, vs, xin, r):
             fn = lambda vv, xx: net.apply(vv, xx, train=train, rng=r)  # noqa: E731
             if remat:
                 fn = jax.checkpoint(fn)
