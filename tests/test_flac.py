@@ -114,3 +114,21 @@ def test_encoder_clamps_excessive_partition_order(tmp_path):
         pytest.skip("native FLAC decoder unavailable")
     out, sr, bps = decoded
     np.testing.assert_array_equal(out, pcm)
+
+
+def test_unknown_length_stream_grows_output(ext):
+    # silence-heavy stream: CONSTANT subframes pack 4096-sample blocks
+    # into a few bytes, so the stream-size capacity estimate is far too
+    # small once total_samples is unknown — the decoder must grow its
+    # output buffer instead of truncating silently
+    n = 200_000
+    x = np.zeros((n, 1), np.int64)
+    data = bytearray(flac.encode_flac(x, 44100, 16))
+    # STREAMINFO payload starts at byte 8; total_samples(36) occupies
+    # the low nibble of payload byte 13 and payload bytes 14-17
+    data[8 + 13] &= 0xF0
+    for off in range(14, 18):
+        data[8 + off] = 0
+    dec, sr, bps = ext.flac_decode(bytes(data))
+    assert dec.shape[0] == n
+    np.testing.assert_array_equal(dec, x)

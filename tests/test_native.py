@@ -60,3 +60,15 @@ def test_write_wav_uses_native_and_matches(tmp_path, rng):
     np.testing.assert_allclose(
         r, np.clip(w, -1, 1 - 1 / 32768), atol=1.0 / 32768
     )
+
+
+def test_quantize_u8_maps_nan_to_zero(ext, rng):
+    x = rng.standard_normal(256).astype(np.float32) ** 2
+    x[7] = np.nan
+    x[100] = -np.inf
+    raw, scale = ext.quantize_u8(x)
+    q = np.frombuffer(raw, np.uint8)
+    assert q[7] == 0 and q[100] == 0
+    finite = np.isfinite(x)
+    expect = np.round(np.clip(x[finite] / scale, 0, 255)).astype(np.uint8)
+    np.testing.assert_array_equal(q[finite], expect)

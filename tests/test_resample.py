@@ -145,3 +145,11 @@ def test_chunked_path_matches_unchunked(monkeypatch):
         out = rs.resample(x, 44100, 8000, res_type=res_type)
         monkeypatch.undo()
         np.testing.assert_array_equal(out, ref)
+
+
+def test_sub_resolution_ratio_raises():
+    # ratios below 1/precision have no filter-table resolution left;
+    # must be a clear error, not a silent all-zero output
+    x = np.random.default_rng(0).standard_normal(44100).astype(np.float32)
+    with pytest.raises(ValueError, match="resolution"):
+        resample(x, 44100, 50, res_type="kaiser_fast")

@@ -253,6 +253,10 @@ static int decode_frame(BitReader *br, const StreamInfo *si, int32_t *pcm,
 
     int channels = si->channels;
     int32_t *tmp[8];
+    /* Static scratch is safe ONLY because flac_decode never releases
+     * the GIL: do not add Py_BEGIN_ALLOW_THREADS around the decode
+     * loop without making this per-call (threaded Loader callers would
+     * corrupt each other's blocks). */
     static int32_t *scratch = NULL;
     static uint64_t scratch_cap = 0;
     uint64_t need = (uint64_t)blocksize * channels;
@@ -360,9 +364,11 @@ PyObject *vrt_flac_decode(PyObject *self, PyObject *args) {
     }
 
     uint64_t capacity = si.total_samples;
-    if (capacity == 0) {
-        /* unknown length: generous upper bound from the stream size
-         * (rice coding floors near ~1 bit/sample/channel) */
+    int grow = (capacity == 0);
+    if (grow) {
+        /* unknown length: start from a stream-size estimate and grow on
+         * demand below — CONSTANT subframes pack 65536 samples into a
+         * few bytes, so no static heuristic bounds the output */
         capacity = (uint64_t)(len - br.pos) * 8u / si.channels + 65536;
     }
 
@@ -372,7 +378,23 @@ PyObject *vrt_flac_decode(PyObject *self, PyObject *args) {
     int32_t *pcm = (int32_t *)PyBytes_AS_STRING(bytes_obj);
 
     uint64_t written = 0;
-    while (written < capacity && !br_eof(&br)) {
+    while (!br_eof(&br)) {
+        if (written + 65536 > capacity) {   /* 65536 = max FLAC blocksize */
+            if (!grow) {
+                if (written >= capacity) break;
+            } else {
+                uint64_t newcap = capacity * 2 + 65536;
+                if (_PyBytes_Resize(
+                        &bytes_obj,
+                        (Py_ssize_t)(newcap * si.channels *
+                                     sizeof(int32_t))) != 0) {
+                    PyBuffer_Release(&view);
+                    return NULL;
+                }
+                pcm = (int32_t *)PyBytes_AS_STRING(bytes_obj);
+                capacity = newcap;
+            }
+        }
         int got = decode_frame(&br, &si, pcm, written, capacity);
         if (got < 0) break;
         written += (uint64_t)got;

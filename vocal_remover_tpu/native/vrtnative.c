@@ -217,7 +217,9 @@ static PyObject *quantize_u8(PyObject *self, PyObject *args) {
     const float MAGIC = 12582912.0f; /* round-half-to-even, see above */
     for (Py_ssize_t i = 0; i < n; i++) {
         float s = src[i] * inv;
-        if (s < 0.0f) s = 0.0f;
+        /* !(s > 0) also catches NaN, which would otherwise fail both
+         * clamp comparisons and hit the magic-number cast undefined */
+        if (!(s > 0.0f)) s = 0.0f;
         if (s > 255.0f) s = 255.0f;
         dst[i] = (uint8_t)((s + MAGIC) - MAGIC);
     }

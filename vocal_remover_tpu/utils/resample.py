@@ -100,6 +100,14 @@ def _resample_1d_wings_offset(x_seg, o0, o1, i0, ratio, win, delta,
         win = win * scale
         delta = delta * scale
     index_step = int(scale * precision)
+    if index_step == 0:
+        # ratio below 1/precision (e.g. 44100 -> <90 Hz with the
+        # kaiser_fast table): the filter table has no resolution left
+        # and the tap-count bound below would floor-divide by zero.
+        raise ValueError(
+            f"resample ratio {ratio:.2e} is below the filter table's "
+            f"resolution (1/{precision}); downsample in stages instead"
+        )
     nwin = win.shape[0]
     n_seg = x_seg.shape[-1]
 
