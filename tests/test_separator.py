@@ -183,3 +183,26 @@ def test_fn_cache_bounded_lru():
     # most-recently-used keys survive
     assert ("wave", 1019, False, True, True) in sep._fn_cache
     assert ("wave", 1000, False, True, True) not in sep._fn_cache
+
+
+def test_bucketed_wave_reuses_one_executable(pair):
+    """Different song lengths padded to one bucket share ONE compiled
+    pipeline (VERDICT r2: no per-exact-length recompiles), and outputs
+    match the exact-length path away from the final STFT window."""
+    _, jmod, v = pair
+    sr = 8000
+    bucket = 4 * sr
+    sp = Separator(jmod, v, batchsize=2, cropsize=256)
+
+    a = synth_song(seconds=2.7)
+    b = synth_song(seconds=3.4)
+    ya, va = sp.separate_wave(a, bucket=bucket)
+    yb, vb = sp.separate_wave(b, bucket=bucket)
+    assert len(sp._fn_cache) == 1  # one executable for both lengths
+    assert ya.shape == a.shape and yb.shape == b.shape
+
+    y_exact, v_exact = sp.separate_wave(a)
+    n_fft = 256
+    body = a.shape[-1] - n_fft
+    np.testing.assert_allclose(ya[:, :body], y_exact[:, :body], atol=2e-4)
+    np.testing.assert_allclose(va[:, :body], v_exact[:, :body], atol=2e-4)

@@ -77,11 +77,11 @@ def test_streaming_constant_compile(small, rng):
     stream = StreamingSeparator(model, variables, segment_patches=4,
                                 batchsize=2)
     wave = (rng.standard_normal((2, 16000 * 5)) * 0.3).astype(np.float32)
-    fn = stream._segment_fn()
+    fn = stream._segment_fn("direct")
     stream.separate_wave(wave)
     # a different length reuses the very same compiled function
     stream.separate_wave(wave[:, : 16000 * 3])
-    assert stream._segment_fn() is fn
+    assert stream._segment_fn("direct") is fn
 
 
 def test_streaming_rejects_complex_models():
@@ -92,3 +92,67 @@ def test_streaming_rejects_complex_models():
     variables = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError):
         StreamingSeparator(model, variables)
+
+
+def _song(rng, sr=16000, seconds=7.3):
+    t = np.arange(int(sr * seconds)) / sr
+    return np.stack([
+        0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(len(t)),
+        0.4 * np.sin(2 * np.pi * 220 * t),
+    ]).astype(np.float32)
+
+
+def test_streaming_tta_matches_monolithic(small, rng):
+    """Streamed TTA (shifted second pass inside the segment fn, global
+    lexicographic-max normalization) == monolithic separate_wave(tta)."""
+    model, variables = small
+    wave = _song(rng)
+
+    mono = Separator(model, variables, batchsize=2, cropsize=256)
+    y_ref, v_ref = mono.separate_wave(wave, tta=True)
+
+    stream = StreamingSeparator(model, variables, segment_patches=4,
+                                batchsize=2, tta=True)
+    y, v = stream.separate_wave(wave)
+    np.testing.assert_allclose(y, y_ref, atol=3e-4)
+    np.testing.assert_allclose(v, v_ref, atol=3e-4)
+
+
+@pytest.mark.parametrize("tta", [False, True])
+def test_streaming_postprocess_matches_spectrogram_path(small, rng, tta):
+    """Streamed two-phase postprocess == the host spectrogram API
+    (separate/_postprocess/merge_artifacts + iSTFT), TTA included."""
+    from vocal_remover_tpu.ops import stft as stft_ops
+
+    model, variables = small
+    wave = _song(rng)
+    X_spec = stft_ops.stft_np(wave, 256, 128)
+
+    mono = Separator(model, variables, batchsize=2, cropsize=256,
+                     postprocess=True)
+    if tta:
+        y_spec, v_spec = mono.separate_tta(X_spec)
+    else:
+        y_spec, v_spec = mono.separate(X_spec)
+    y_ref = stft_ops.istft_np(y_spec, 256, 128, wave.shape[-1])
+    v_ref = stft_ops.istft_np(v_spec, 256, 128, wave.shape[-1])
+
+    stream = StreamingSeparator(model, variables, segment_patches=4,
+                                batchsize=2, tta=tta, postprocess=True)
+    y, v = stream.separate_wave(wave)
+    np.testing.assert_allclose(y, y_ref, atol=4e-4)
+    np.testing.assert_allclose(v, v_ref, atol=4e-4)
+
+
+def test_no_host_index_constants_in_traced_code():
+    """The segment/stats functions must build frame indices with device
+    iota, not np.arange (O(segment) host constants bloat the graph —
+    the monolithic path's HTTP-413 lesson, BENCH_NOTES.md)."""
+    import inspect
+
+    from vocal_remover_tpu.separate import streaming
+
+    src = inspect.getsource(streaming.StreamingSeparator._build_segment_fn)
+    assert "np.arange" not in src
+    src = inspect.getsource(streaming.StreamingSeparator._global_spec_stats)
+    assert "np.arange" not in src.split("def stats")[1].split("fn =")[0]

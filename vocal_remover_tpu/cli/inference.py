@@ -66,6 +66,11 @@ def build_parser():
                    help='segment-streamed separation: constant memory '
                         'and a single compile for any input length '
                         '(auto-enabled above 20 minutes of audio)')
+    p.add_argument('--exact_length', action='store_true',
+                   help='compile the device pipeline for the exact song '
+                        'length instead of padding to 30 s buckets '
+                        '(bit-faithful song tail, but each new length '
+                        'pays a fresh multi-minute compile)')
     p.add_argument('--data_parallel', type=int, default=1,
                    help='shard the patch axis of each song over an '
                         'N-device mesh (0 = all local devices; '
@@ -215,16 +220,19 @@ def _run_single(args, model, variables):
 
     long_audio = X.shape[-1] > 20 * 60 * sr
     # the streamed path is magnitude-mask only; complex checkpoints
-    # take the monolithic device pipeline regardless of length
-    if (args.stream or long_audio) and not args.tta \
-            and not args.postprocess and not args.output_image \
+    # take the monolithic device pipeline regardless of length.
+    # TTA runs inside the segment function; postprocess streams in two
+    # phases (masks -> host artifact merge -> apply).
+    if (args.stream or long_audio) and not args.output_image \
             and not model.is_complex:
         from vocal_remover_tpu.separate.streaming import StreamingSeparator
 
         with _stage('separate (streamed segments)'):
             stream = StreamingSeparator(model, variables,
                                         batchsize=args.batchsize,
-                                        pcm16_io=True, vocals_residual=True)
+                                        pcm16_io=True, vocals_residual=True,
+                                        tta=args.tta,
+                                        postprocess=args.postprocess)
             y_wave, v_wave = stream.separate_wave(X)
         audio.write_wav(inst_path, y_wave.astype(np.float32) / 32768.0, sr)
         audio.write_wav(vocal_path, v_wave.astype(np.float32) / 32768.0, sr)
@@ -232,9 +240,13 @@ def _run_single(args, model, variables):
 
     if not args.postprocess and not args.output_image:
         # pure-device fast path: STFT -> model -> mask -> iSTFT in one
-        # jitted call, PCM16 exchanged with the host
+        # jitted call, PCM16 exchanged with the host; song lengths are
+        # padded to 30 s buckets so executables are shared across songs
+        # (same scheme as --input_dir serving)
+        bucket = None if args.exact_length else 30 * sr
         with _stage('separate (device pipeline)'):
-            y_wave, v_wave = sp.separate_wave(X, tta=args.tta, pcm16_io=True)
+            y_wave, v_wave = sp.separate_wave(X, tta=args.tta, pcm16_io=True,
+                                              bucket=bucket)
         audio.write_wav(inst_path, y_wave.astype(np.float32) / 32768.0, sr)
         audio.write_wav(vocal_path, v_wave.astype(np.float32) / 32768.0, sr)
         return

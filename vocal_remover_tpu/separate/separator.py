@@ -316,19 +316,34 @@ class Separator:
         return run
 
     def separate_wave(self, wave: np.ndarray, tta: bool = False,
-                      pcm16_io: bool = False):
+                      pcm16_io: bool = False, bucket: int | None = None):
         """(2, n_samples) wave -> (instruments_wave, vocals_wave).
 
         Pure-device fast path; requires postprocess=False (the
         merge_artifacts refinement is data-dependent host logic; use
         `separate` for that path). With pcm16_io=True, takes/returns
         int16 PCM arrays (input float is quantized host-side first).
+
+        bucket: round the song length up to a multiple of `bucket`
+        samples with zero padding (outputs trimmed back), so every song
+        shares one jitted executable per bucket instead of one per
+        exact length (a whole-pipeline compile is minutes on a cold
+        cache). Same scheme as directory-mode serving. The only
+        numerical difference vs exact-length: the STFT's centered
+        reflect padding at the song tail sees zeros instead of
+        reflected audio, which perturbs the final <= n_fft samples at
+        window-rolloff level.
         """
         if self.postprocess:
             raise ValueError(
                 "separate_wave is the pure-device path; postprocess "
                 "requires the spectrogram API (separate/separate_tta)"
             )
+        n_orig = wave.shape[-1]
+        if bucket:
+            padded = -(-n_orig // bucket) * bucket
+            if padded != n_orig:
+                wave = np.pad(wave, ((0, 0), (0, padded - n_orig)))
         run = self._wave_fn(wave.shape[-1], tta, pcm16_io)
         if pcm16_io and wave.dtype != np.int16:
             from vocal_remover_tpu import native
@@ -341,7 +356,10 @@ class Separator:
                 wave = np.round(wave * 32768.0).astype(np.int16)
         dtype = np.int16 if pcm16_io else np.float32
         y, v = run(np.ascontiguousarray(wave, dtype), self.variables)
-        return np.asarray(y), np.asarray(v)
+        return (
+            np.asarray(y)[:, :n_orig],
+            np.asarray(v)[:, :n_orig],
+        )
 
     def _postprocess(self, X_spec, mask):
         if self.postprocess:
