@@ -30,6 +30,13 @@ def main(argv=None):
     p.add_argument("--batchsizes", type=str, default="8,12,16")
     p.add_argument("--runs", type=int, default=6)
     p.add_argument("--precision", type=str, default="default")
+    p.add_argument("--serving", action="store_true",
+                   help="apply the serving transform (fold BatchNorms, "
+                        "bf16-resident weights)")
+    p.add_argument("--dsp_only", action="store_true",
+                   help="measure the non-model pipeline shell alone "
+                        "(STFT -> mag/patch/stitch geometry with a "
+                        "constant mask -> iSTFT -> PCM16)")
     args = p.parse_args(argv)
 
     import jax
@@ -43,12 +50,30 @@ def main(argv=None):
     nn_config.set_precision(args.precision)
     model = CascadedNet(2048, 1024, 32, 128)
     variables = model.init(jax.random.PRNGKey(0))
+    if args.serving:
+        from vocal_remover_tpu.models import serving
+
+        dt = "bfloat16" if args.precision == "bfloat16" else None
+        variables = serving.serving_variables(variables, dt)
 
     rng = np.random.default_rng(0)
     wave = np.round(
         np.clip(rng.standard_normal((2, SR * SECONDS)) * 0.1, -1, 0.999)
         * 32768.0
     ).astype(np.int16)
+
+    if args.dsp_only:
+        import jax.numpy as jnp
+
+        class _ShellModel:
+            """Identity mask: isolates the pipeline's DSP shell."""
+            n_fft, hop_length = model.n_fft, model.hop_length
+            offset, is_complex = model.offset, False
+
+            def __call__(self, variables, x):
+                return jnp.ones_like(x)
+
+        model, variables = _ShellModel(), {}
 
     for bs in [int(b) for b in args.batchsizes.split(",")]:
         sep = Separator(model, variables, batchsize=bs, cropsize=256)

@@ -55,7 +55,11 @@ def build_parser():
     p.add_argument('--postprocess', '-p', action='store_true')
     p.add_argument('--output_dir', '-o', type=str, default="")
     p.add_argument('--precision', type=str, default='highest',
-                   choices=['highest', 'default'])
+                   choices=['highest', 'default', 'bfloat16'],
+                   help='highest = f32-faithful; default = bf16 MXU '
+                        'multiplies; bfloat16 = serving mode (folded '
+                        'BatchNorm, bf16-resident weights and '
+                        'activations; masks differ from f32 at ~1e-4)')
     p.add_argument('--lstm_impl', type=str, default='scan',
                    choices=['scan', 'pallas'],
                    help='pallas = fused TPU recurrence kernel')
@@ -172,6 +176,12 @@ def main(argv=None):
         model, variables = convert.load_model(
             args.pretrained_model, args.n_fft, args.hop_length, 32, 128
         )
+    if args.precision == 'bfloat16':
+        # serving transform: eval-BN folding + bf16-resident weights
+        # (halves weight HBM traffic; pairs with bf16 activations)
+        from vocal_remover_tpu.models import serving
+
+        variables = serving.serving_variables(variables, 'bfloat16')
 
     if args.profile is not None:
         import jax

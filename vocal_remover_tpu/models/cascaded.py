@@ -166,6 +166,8 @@ class CascadedNet:
         prec = jax.lax.Precision.HIGHEST
         if feat.dtype != jnp.float64:  # f64 only in x64 parity-test mode
             feat = feat.astype(jnp.float32)  # mask head always f32
+        if kernel.dtype != feat.dtype:  # bf16-resident serving weights
+            kernel = kernel.astype(feat.dtype)
         m = jax.lax.conv_general_dilated(
             feat, kernel, (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,

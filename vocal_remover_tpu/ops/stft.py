@@ -170,11 +170,24 @@ def istft(real, imag, n_fft: int, hop_length: int, length: int | None = None):
     window = jnp.asarray(hann_window(n_fft))
     frames = frames * window
     y = _overlap_add(frames, n_fft, hop_length)
-    # window-sum-square normalization computed ON DEVICE with the same
-    # overlap-add (data independent but length dependent — a host-side
-    # table would bake an O(length) constant into the graph)
-    w2 = jnp.broadcast_to(window * window, (n_frames, n_fft))
-    wss = _overlap_add(w2, n_fft, hop_length)
+    # window-sum-square normalization computed ON DEVICE (data
+    # independent but length dependent — a host-side table would bake
+    # an O(length) constant into the graph). For the default 50%-
+    # overlap geometry the interior is exactly periodic with period
+    # hop (each sample sees two window halves), so the whole vector is
+    # [first half-window, tiled period, last half-window] — a tiny
+    # tile instead of a full O(length * n_fft) overlap-add pass.
+    w2v = window * window
+    if hop_length * 2 == n_fft and n_frames >= 2:
+        period = w2v[:hop_length] + w2v[hop_length:]
+        wss = jnp.concatenate([
+            w2v[:hop_length],
+            jnp.tile(period, n_frames - 1),
+            w2v[hop_length:],
+        ])
+    else:
+        w2 = jnp.broadcast_to(w2v, (n_frames, n_fft))
+        wss = _overlap_add(w2, n_fft, hop_length)
     tiny = np.finfo(np.float32).tiny
     y = jnp.where(wss > tiny, y / jnp.maximum(wss, tiny), y)
     pad = n_fft // 2

@@ -217,12 +217,24 @@ class StreamingSeparator:
             # the global window-sum-square slice for the emitted
             # positions == local OLA of window^2 over the span's VALID
             # frames (invalid = global spectrogram padding contributes
-            # no window energy), so it needs no host transfer
+            # no window energy), so it needs no host transfer. As math:
+            # wss(t) = sum_k valid[k] w^2(t - k*hop) — a hop-strided
+            # transposed convolution of the validity vector with w^2,
+            # O(span * n_fft) MACs instead of materializing the
+            # (span, n_fft) window-frame array for a full OLA pass.
             valid_span = jax.lax.slice_in_dim(
                 frame_valid, roi + off - 1, roi + off - 1 + span, axis=0
             )
-            w2 = (window * window)[None, :] * valid_span[:, None]
-            wss = ola_frames(w2[None])[0]
+            wss_full = jax.lax.conv_transpose(
+                valid_span[None, None, :],
+                (window * window)[None, None, :],
+                strides=(hop,),
+                padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                transpose_kernel=True,
+                precision=jax.lax.Precision.HIGHEST,
+            )[0, 0]
+            wss = wss_full[hop : hop + emit]
             tiny = np.finfo(np.float32).tiny
 
             def ola(sr_, si_):
