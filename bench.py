@@ -28,6 +28,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
+import argparse
 import json
 import statistics
 import time
@@ -43,7 +44,54 @@ N_SONGS = 12
 N_DEVICE_RUNS = 8
 
 
-def main():
+def _measure_reference_cpu(song):
+    """Re-measure the reference implementation (torch CPU, 1 thread) on
+    this host — guards against the stored 0.83 constant going stale."""
+    import importlib.util
+    import sys
+    import types
+
+    import torch
+
+    torch.set_num_threads(1)
+    # headless stand-ins for the reference's display-only imports
+    if "cv2" not in sys.modules:
+        cv2 = types.ModuleType("cv2")
+        cv2.IMREAD_COLOR = 1
+        sys.modules["cv2"] = cv2
+    if "tqdm" not in sys.modules:
+        mod = types.ModuleType("tqdm")
+        mod.tqdm = lambda x, *a, **k: x
+        sys.modules["tqdm"] = mod
+    spec = importlib.util.spec_from_file_location(
+        "_reference_inference", "/root/reference/inference.py"
+    )
+    sys.path.insert(0, "/root/reference")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    from lib import nets as ref_nets
+    from lib import spec_utils as ref_spec
+
+    model = ref_nets.CascadedNet(2048, 1024, 32, 128)
+    model.eval()
+    X = ref_spec.wave_to_spectrogram(song.astype(np.float32), 1024, 2048)
+    sp = ref.Separator(model, "cpu", 4, 256)
+    t0 = time.time()
+    sp.separate(X)
+    return SECONDS / (time.time() - t0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--baseline", action="store_true",
+                   help="re-measure the torch-CPU reference baseline "
+                        "instead of using the stored constant")
+    p.add_argument("--precision", default="bfloat16",
+                   choices=["highest", "default", "bfloat16"])
+    p.add_argument("--no_serving", action="store_true",
+                   help="skip the BN-fold/bf16-weight serving transform")
+    args = p.parse_args(argv)
+
     import jax
 
     # persistent compile cache: repeat bench runs skip the (remote,
@@ -57,11 +105,19 @@ def main():
     from vocal_remover_tpu.separate.separator import Separator
     from vocal_remover_tpu.separate.service import SeparatorService
 
-    nn_config.set_precision("default")  # bf16 MXU; f32 accumulate
+    # serving numerics: bf16 MXU + bf16-resident activations/weights
+    # with folded eval BatchNorms; instrument-wave SNR vs the strict-f32
+    # pipeline measured at 103.5 dB (BENCH_NOTES.md round 3)
+    nn_config.set_precision(args.precision)
 
     model = CascadedNet(2048, 1024, 32, 128)
     variables = model.init(jax.random.PRNGKey(0))
-    sep = Separator(model, variables, batchsize=8, cropsize=256)
+    if not args.no_serving:
+        from vocal_remover_tpu.models import serving
+
+        dt = "bfloat16" if args.precision == "bfloat16" else None
+        variables = serving.serving_variables(variables, dt)
+    sep = Separator(model, variables, batchsize=24, cropsize=256)
     svc = SeparatorService(sep, pcm16_io=True, vocals_residual=True)
 
     rng = np.random.default_rng(0)
@@ -135,13 +191,23 @@ def main():
     except Exception:
         pass
 
+    baseline = REFERENCE_CPU_XRT
+    if args.baseline:
+        try:
+            baseline = _measure_reference_cpu(songs[0])
+        except Exception:
+            baseline = REFERENCE_CPU_XRT
+
     print(
         json.dumps(
             {
                 "metric": "separation_throughput_xrt",
                 "value": round(xrt, 2),
                 "unit": "audio_sec/sec/chip @44.1kHz",
-                "vs_baseline": round(xrt / REFERENCE_CPU_XRT, 1),
+                "vs_baseline": round(xrt / baseline, 1),
+                "baseline_xrt": round(baseline, 2),
+                "mode": args.precision
+                + ("" if args.no_serving else "+serving"),
                 "mean_xrt": round(mean_xrt, 2),
                 "device_only_xrt": round(device_only_xrt, 2),
                 "link_up_mbps": round(nbytes / dt_up / 1e6, 1),

@@ -73,6 +73,46 @@ def main(argv=None):
             y, _ = jax.lax.scan(step, x0, None, length=L)
             return y
 
+        @jax.jit
+        def chain_xla_nchw(x0, wk, b):
+            # same conv via NCHW/OIHW dimension numbers
+            w_oihw = jnp.transpose(wk, (3, 2, 0, 1))
+
+            def step(carry, _):
+                y = jax.lax.conv_general_dilated(
+                    carry, w_oihw, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                )
+                y = y + b[None, :, None, None].astype(y.dtype)
+                y = jnp.where(y >= 0, y, 0.01 * y)
+                return y.astype(x0.dtype), ()
+            y, _ = jax.lax.scan(step, x0, None, length=L)
+            return y
+
+        @jax.jit
+        def chain_xla_taps(x0, wk, b):
+            # conv as 9 shifted (M, Cin) @ (Cin, Cout) dots in NHWC
+            def step(carry, _):
+                nb, hh, ww, cc = carry.shape
+                xp = jnp.pad(carry, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                acc = None
+                for dy in range(3):
+                    for dx in range(3):
+                        xs = jax.lax.slice(
+                            xp, (0, dy, dx, 0),
+                            (nb, dy + hh, dx + ww, cc),
+                        )
+                        d = jnp.einsum(
+                            "nhwc,cd->nhwd", xs, wk[dy, dx],
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = d if acc is None else acc + d
+                y = acc + b[None, None, None, :]
+                y = jnp.where(y >= 0, y, 0.01 * y)
+                return y.astype(x0.dtype), ()
+            y, _ = jax.lax.scan(step, x0, None, length=L)
+            return y
+
         x_chw = jax.device_put(jnp.asarray(x, dt))
         x_nhwc = jax.device_put(jnp.asarray(
             np.transpose(x, (0, 2, 3, 1)), dt))
@@ -80,8 +120,10 @@ def main(argv=None):
         tiny = jax.jit(lambda a: jnp.sum(a[:1, :1, :1, :8]))
 
         for name, fn, xin, warg in (
-            ("pallas", chain_pallas, x_chw, w2),
-            ("xla   ", chain_xla, x_nhwc, wk_d),
+            ("pallas  ", chain_pallas, x_chw, w2),
+            ("xla     ", chain_xla, x_nhwc, wk_d),
+            ("xla_nchw", chain_xla_nchw, x_chw, wk_d),
+            ("xla_taps", chain_xla_taps, x_nhwc, wk_d),
         ):
             out = fn(xin, warg, b_d)
             np.asarray(tiny(out))  # compile+sync (no bulk download)

@@ -36,8 +36,8 @@ def get_lstm_impl() -> str:
 def set_precision(p: str):
     """highest = f32 MXU (parity), default = bf16 MXU multiplies with
     f32 activations, bfloat16 = bf16 activations end-to-end (halves HBM
-    traffic of the conv stack; masks differ from f32 by ~1e-2 — serving
-    mode, not for parity checks)."""
+    traffic of the conv stack; masks differ from f32 at the ~1e-4
+    level — serving mode, not for parity checks)."""
     global _precision, _compute_dtype
     assert p in ("highest", "default", "bfloat16")
     _precision = p

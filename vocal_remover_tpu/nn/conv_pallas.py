@@ -93,18 +93,18 @@ def space_to_depth(x):
 
 
 def _pick_tile(ho, wp, k_rows, c_total, cout, itemsize,
-               budget=10 * 1024 * 1024):
-    """Output rows per grid step: fit the im2col scratch + input tile,
-    the f32 accumulator, and the double-buffered output block in a
+               budget=11 * 1024 * 1024):
+    """Output rows per tile: fit the double-buffered input tiles and
+    output tiles, the im2col scratch, and the f32 accumulator in a
     VMEM budget (hardware limit 16 MB)."""
     wp_al = -(-wp // 128) * 128
     per_row = (
-        (k_rows + c_total) * wp_al * itemsize  # im2col + input tile
-        + cout * wp_al * (4 + 2 * itemsize)    # f32 acc + 2x out block
+        (k_rows + 2 * c_total) * wp_al * itemsize  # im2col + 2x input
+        + cout * wp_al * (4 + 2 * itemsize)        # f32 acc + 2x out
     )
     th = max(1, int(budget // max(per_row, 1)))
     th = int(min(th, ho, 64))
-    # Mosaic requires the output block's sublane dim divisible by 8
+    # Mosaic requires DMA slices and blocks 8-row aligned
     return max(8, (th // 8) * 8)
 
 
@@ -145,48 +145,85 @@ def _conv_call(x, w2, b2, taps, pad_hw, act, out_dtype, interpret=False):
                         (0, wp_al - wp)))
     act_f = _act_fn(act)
 
-    def kernel(x_hbm, w_ref, b_ref, o_ref, xt, xp, sem):
+    def kernel(x_hbm, w_ref, b_ref, o_hbm, xt, xp, ot, isem, osem):
+        """Grid over batch; in-kernel tile loop with double-buffered
+        input AND output DMAs so HBM traffic overlaps the im2col+dot —
+        the non-overlapped variant measured at ~70 GB/s effective vs
+        the chip's ~415 GB/s elementwise rate (BENCH_NOTES round 3)."""
         i = pl.program_id(0)
-        h0 = pl.program_id(1) * th
-        dma = pltpu.make_async_copy(
-            x_hbm.at[i, :, pl.ds(h0, rows_dma), :], xt, sem
-        )
-        dma.start()
-        dma.wait()
-        for t, (cblk, dy, dx) in enumerate(taps):
-            xp[t * cin_blk : (t + 1) * cin_blk] = xt[
-                cblk * cin_blk : (cblk + 1) * cin_blk,
-                dy : dy + th,
-                dx : dx + wo,
-            ]
-        acc = jax.lax.dot_general(
-            w_ref[:],
-            xp[:].reshape(k_rows, th * wo),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Cout, th*wo)
-        y = act_f(acc + b_ref[:])
-        o_ref[0] = y.reshape(cout, th, wo).astype(o_ref.dtype)
+
+        def in_dma(slot, j):
+            return pltpu.make_async_copy(
+                x_hbm.at[i, :, pl.ds(j * th, rows_dma), :],
+                xt.at[slot], isem.at[slot],
+            )
+
+        def out_dma(slot, j):
+            return pltpu.make_async_copy(
+                ot.at[slot],
+                o_hbm.at[i, :, pl.ds(j * th, th), :],
+                osem.at[slot],
+            )
+
+        in_dma(0, 0).start()
+
+        def body(j, carry):
+            slot = j % 2
+
+            @pl.when(j + 1 < n_tiles)
+            def _():
+                in_dma((j + 1) % 2, j + 1).start()
+
+            in_dma(slot, j).wait()
+            for t, (cblk, dy, dx) in enumerate(taps):
+                xp[t * cin_blk : (t + 1) * cin_blk] = xt[
+                    slot,
+                    cblk * cin_blk : (cblk + 1) * cin_blk,
+                    dy : dy + th,
+                    dx : dx + wo,
+                ]
+            acc = jax.lax.dot_general(
+                w_ref[:],
+                xp[:].reshape(k_rows, th * wo),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Cout, th*wo)
+            y = act_f(acc + b_ref[:])
+
+            @pl.when(j >= 2)  # this slot's previous output DMA
+            def _():
+                out_dma(slot, j - 2).wait()
+
+            ot[slot] = y.reshape(cout, th, wo).astype(ot.dtype)
+            out_dma(slot, j).start()
+            return carry
+
+        jax.lax.fori_loop(0, n_tiles, body, 0)
+
+        @pl.when(n_tiles >= 2)
+        def _():
+            out_dma((n_tiles - 2) % 2, n_tiles - 2).wait()
+
+        out_dma((n_tiles - 1) % 2, n_tiles - 1).wait()
 
     out = pl.pallas_call(
         kernel,
-        grid=(n, n_tiles),
+        grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k_rows, cout), lambda i, j: (0, 0),
+            pl.BlockSpec((k_rows, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((cout, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, cout, th, wo), lambda i, j: (i, 0, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, cout, ho_pad, wo), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((c_total, rows_dma, wp_al), x.dtype),
+            pltpu.VMEM((2, c_total, rows_dma, wp_al), x.dtype),
             pltpu.VMEM((k_rows, th, wo), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, cout, th, wo), out_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x, w2, b2)
