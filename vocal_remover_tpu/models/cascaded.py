@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vocal_remover_tpu.models.base_net import BaseNet
+from vocal_remover_tpu.nn import config as nn_config
 from vocal_remover_tpu.nn import init as init_lib
 from vocal_remover_tpu.nn.layers import Conv2DBNActiv
 
@@ -118,6 +119,14 @@ class CascadedNet:
             return fn(vs, xin)
 
         x = x[:, : self.max_bin]
+
+        # bf16 mode: cast once at the top so the stage concats
+        # ([band input (+) band output], [x (+) aux1 (+) aux2]) don't
+        # promote back to f32 — every conv input would otherwise pay a
+        # convert+relayout copy. f32/f64 parity modes pass through.
+        dt = nn_config.get_compute_dtype()
+        if dt == jnp.bfloat16 and x.dtype == jnp.float32:
+            x = x.astype(dt)
 
         bandw = x.shape[1] // 2
         l1_in = x[:, :bandw]

@@ -55,8 +55,15 @@ def batch_norm(x, bn, *, train: bool, axes=None):
     if axes is None:
         axes = tuple(range(x.ndim - 1))
     if train:
-        mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
+        # bf16 activations: statistics in f32 (a bf16 variance loses
+        # ~3 digits to cancellation), normalization applied in the
+        # activation dtype so conv->BN->activ chains stay bf16 in HBM —
+        # mixed f32 params would otherwise promote every BN output back
+        # to f32 and reintroduce a layout/convert copy per layer
+        bf16 = x.dtype == jnp.bfloat16
+        xs = x.astype(jnp.float32) if bf16 else x
+        mean = jnp.mean(xs, axes)
+        var = jnp.var(xs, axes)
         n = 1
         for a in axes:
             n *= x.shape[a]
@@ -66,6 +73,12 @@ def batch_norm(x, bn, *, train: bool, axes=None):
             mean=(1 - BN_MOMENTUM) * bn["mean"] + BN_MOMENTUM * mean,
             var=(1 - BN_MOMENTUM) * bn["var"] + BN_MOMENTUM * unbiased,
         )
+        if bf16:
+            inv = jax.lax.rsqrt(var + BN_EPS)
+            scale = inv * bn["scale"]
+            shift = bn["bias"] - mean * scale
+            y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+            return y, new_bn
     else:
         # eval: fold into one multiply-add (computed in f32, applied in
         # the activation dtype so bf16 chains stay bf16)

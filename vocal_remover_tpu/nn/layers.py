@@ -287,6 +287,11 @@ class LSTMModule:
         h = F.relu(h)
         h = h.reshape(nframes, n, self.nin_lstm)
         h = jnp.transpose(h, (1, 2, 0))[..., None]  # (N, F, T, 1)
+        # the recurrence runs f32 (lstm.py); hand the branch back in the
+        # surrounding dtype so the skip-concat in BaseNet doesn't
+        # promote the whole decoder activation to f32 in bf16 mode
+        if h.dtype != x.dtype and x.dtype == jnp.bfloat16:
+            h = h.astype(x.dtype)
         return h, {"conv": cc, "lstm": v["lstm"], "dense": v["dense"],
                    "dense_bn": bn}
 
