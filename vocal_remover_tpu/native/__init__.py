@@ -71,6 +71,18 @@ def flac_decode(data: bytes):
     return pcm, sr, bps
 
 
+def mp3_decode(data: bytes):
+    """MP3 stream bytes -> ((n, ch) float32 pcm, sample_rate), or None
+    when the extension is unavailable (caller falls back to ffmpeg or
+    errors with a clear message)."""
+    mod = get()
+    if mod is None or not hasattr(mod, "mp3_decode"):
+        return None
+    raw, n, ch, sr = mod.mp3_decode(data)
+    pcm = np.frombuffer(raw, np.float32).reshape(n, ch)
+    return pcm, sr
+
+
 def quantize_u8(a: np.ndarray):
     """float32 array -> ({"q": uint8 array, "scale": f32}, or None when
     the extension is unavailable). Fused max+clip+round single-stream

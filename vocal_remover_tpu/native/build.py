@@ -16,6 +16,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 SRCS = [
     os.path.join(HERE, "vrtnative.c"),
     os.path.join(HERE, "flacdec.c"),
+    os.path.join(HERE, "mp3dec.c"),
 ]
 SRC = SRCS[0]  # mtime anchor (back-compat name)
 SO = os.path.join(

@@ -231,6 +231,15 @@ static PyObject *quantize_u8(PyObject *self, PyObject *args) {
 /* flacdec.c */
 extern PyObject *vrt_flac_decode(PyObject *self, PyObject *args);
 
+/* mp3dec.c */
+extern PyObject *vrt_mp3_decode(PyObject *self, PyObject *args);
+extern PyObject *vrt_mp3_decode_trace(PyObject *self, PyObject *args);
+extern PyObject *vrt_mp3_huff_get(PyObject *self, PyObject *args);
+extern PyObject *vrt_mp3_huff_set(PyObject *self, PyObject *args);
+extern PyObject *vrt_mp3_dwindow_get(PyObject *self, PyObject *args);
+extern PyObject *vrt_mp3_dwindow_set(PyObject *self, PyObject *args);
+extern PyObject *vrt_mp3_table_stats(PyObject *self, PyObject *args);
+
 static PyMethodDef Methods[] = {
     {"load_crop_abs", load_crop_abs, METH_VARARGS,
      "fused npy chunk read + |complex|/coef in (C, F, T) layout"},
@@ -242,6 +251,20 @@ static PyMethodDef Methods[] = {
      "float32 buffer -> (uint8 bytes, scale): fused max+clip+round"},
     {"flac_decode", vrt_flac_decode, METH_VARARGS,
      "FLAC stream bytes -> (int32 pcm bytes, n, channels, sr, bps)"},
+    {"mp3_decode", vrt_mp3_decode, METH_VARARGS,
+     "MP3 stream bytes -> (float32 pcm bytes, n, channels, sr)"},
+    {"mp3_decode_trace", vrt_mp3_decode_trace, METH_VARARGS,
+     "dev: mp3 decode returning synthesis U vectors for window checks"},
+    {"mp3_huff_get", vrt_mp3_huff_get, METH_VARARGS,
+     "dev: (xlen, ylen, linbits, lens, codes) of a huffman table"},
+    {"mp3_huff_set", vrt_mp3_huff_set, METH_VARARGS,
+     "dev: replace a huffman table (extraction harness hook)"},
+    {"mp3_dwindow_get", vrt_mp3_dwindow_get, METH_VARARGS,
+     "dev: synthesis window as 512 float32 bytes"},
+    {"mp3_dwindow_set", vrt_mp3_dwindow_set, METH_VARARGS,
+     "dev: replace the synthesis window (extraction harness hook)"},
+    {"mp3_table_stats", vrt_mp3_table_stats, METH_VARARGS,
+     "dev: huffman table usage counters"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -146,6 +146,24 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(wave.T), int(sr)
 
 
+def read_mp3(path: str) -> tuple[np.ndarray, int]:
+    """Read an MP3 file via the native decoder (native/mp3dec.c)
+    -> ((C, L) float32, sample_rate). MPEG-1/2/2.5 Layer III, CBR/VBR,
+    all stereo modes; ID3 and Xing/Info tag frames skipped."""
+    from vocal_remover_tpu import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    out = native.mp3_decode(data)
+    if out is None:
+        raise RuntimeError(
+            "MP3 decoding requires the native extension (no C compiler "
+            "available) — or install ffmpeg"
+        )
+    wave, sr = out
+    return np.ascontiguousarray(wave.T), int(sr)
+
+
 def _load_via_ffmpeg(path: str, sr: int | None) -> tuple[np.ndarray, int]:
     if _FFMPEG is None:
         raise RuntimeError(
@@ -183,6 +201,11 @@ def load(
         except (RuntimeError, ValueError):
             # native decode unavailable or unsupported stream feature:
             # degrade gracefully through ffmpeg when present
+            wave, file_sr = _load_via_ffmpeg(path, None)
+    elif ext == ".mp3":
+        try:
+            wave, file_sr = read_mp3(path)
+        except (RuntimeError, ValueError):
             wave, file_sr = _load_via_ffmpeg(path, None)
     else:
         wave, file_sr = _load_via_ffmpeg(path, None)
