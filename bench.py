@@ -31,6 +31,7 @@ Prints ONE JSON line:
 import argparse
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -192,11 +193,19 @@ def main(argv=None):
         pass
 
     baseline = REFERENCE_CPU_XRT
+    baseline_measured = False
     if args.baseline:
         try:
             baseline = _measure_reference_cpu(songs[0])
-        except Exception:
-            baseline = REFERENCE_CPU_XRT
+            baseline_measured = True
+        except Exception as e:
+            # Fall back to the stored constant, but say so loudly — a
+            # silent fallback would defeat the point of --baseline.
+            print(
+                f"[bench] --baseline measurement failed ({e!r}); "
+                f"falling back to stored constant {REFERENCE_CPU_XRT}",
+                file=sys.stderr,
+            )
 
     print(
         json.dumps(
@@ -206,6 +215,7 @@ def main(argv=None):
                 "unit": "audio_sec/sec/chip @44.1kHz",
                 "vs_baseline": round(xrt / baseline, 1),
                 "baseline_xrt": round(baseline, 2),
+                "baseline_measured": baseline_measured,
                 "mode": args.precision
                 + ("" if args.no_serving else "+serving"),
                 "mean_xrt": round(mean_xrt, 2),

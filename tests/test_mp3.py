@@ -77,15 +77,14 @@ def _snr_vs_oracle(ext, mpg123, data):
     assert ch == ref.shape[1]
     best = 1e9
     for lag in (-1152, 0, 1152):
+        worst = 0.0  # worst channel at this lag (one global decoder delay)
         for c in range(ch):
             a, b = (ref[lag:, c], mine[:, c]) if lag >= 0 else \
                 (ref[:, c], mine[-lag:, c])
             L = min(len(a), len(b))
             r = float(np.sqrt(np.mean((a[:L] - b[:L]) ** 2)))
-            if c == 0:
-                r0 = r
-        if r0 < best:
-            best = max(r0, r)  # worst channel at the best lag
+            worst = max(worst, r)
+        best = min(best, worst)
     sig = float(np.sqrt(np.mean(ref ** 2)))
     return 20 * np.log10(max(sig, 1e-12) / max(best, 1e-12))
 
@@ -273,6 +272,21 @@ def test_huffman_tables_sampled(ext, mpg123):
             v = x.fit_lines(basis, seg)
             assert (round(v[0]), round(v[1])) == (xv, yv), \
                 f"t{tid}: baked code for ({xv},{yv}) decodes to {v[:2]}"
+
+
+def test_huff_set_alias_id(ext, lame):
+    """mp3_huff_set on an ESC alias id (17-23/25-31) must canonicalize
+    to the owning base table: the aliases share the base's tree via
+    struct copies, and rebuilding one in place would free that shared
+    tree out from under its siblings (use-after-free regression)."""
+    data = lame(_tone(44100), 44100)
+    before = ext.mp3_decode(data)
+    x16 = ext.mp3_huff_get(16)
+    ext.mp3_huff_set(19, x16[3], x16[4])  # same codes via an alias id
+    x19 = ext.mp3_huff_get(19)
+    assert x19[3] == x16[3] and x19[4] == x16[4]
+    after = ext.mp3_decode(data)  # ESC tables still decode
+    assert before[1:] == after[1:] and before[0] == after[0]
 
 
 # --------------------------------------------------------------------

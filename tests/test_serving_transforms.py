@@ -1,6 +1,8 @@
 """BN folding and weight casting for serving (models/serving.py):
 eval forwards must match the untransformed variables."""
 
+import zlib
+
 import numpy as np
 import pytest
 import jax
@@ -22,7 +24,10 @@ def setup():
     def perturb(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else path[-1]
         a = np.asarray(leaf)
-        r = np.random.default_rng(abs(hash(tuple(str(p) for p in path))) % 2**32)
+        # crc32, not hash(): str hashes are salted per process and would
+        # make the perturbations (and the tolerance checks) irreproducible
+        seed = zlib.crc32("/".join(str(p) for p in path).encode())
+        r = np.random.default_rng(seed)
         if name in ("mean", "bias"):
             return a + r.standard_normal(a.shape).astype(a.dtype) * 0.1
         if name in ("var", "scale"):

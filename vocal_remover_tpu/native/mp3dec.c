@@ -1562,6 +1562,12 @@ PyObject *vrt_mp3_huff_set(PyObject *self, PyObject *args) {
     Py_buffer lv, cv;
     if (!PyArg_ParseTuple(args, "iy*y*", &id, &lv, &cv)) return NULL;
     mp3_init_all();
+    /* ESC tables 17-23/25-31 alias 16/24's code storage (struct copies in
+     * huff_init_tables): rebuilding one in place would free the shared tree
+     * out from under its siblings. Canonicalize to the owning base table —
+     * per spec they share codes and differ only in linbits. */
+    if (id >= 17 && id <= 23) id = 16;
+    else if (id >= 25 && id <= 31) id = 24;
     if (id < 0 || id > 33 || HT[id].hlen == NULL) {
         PyBuffer_Release(&lv);
         PyBuffer_Release(&cv);
@@ -1593,8 +1599,6 @@ PyObject *vrt_mp3_huff_set(PyObject *self, PyObject *args) {
     if (id == 16)
         for (int s = 17; s <= 23; s++) {
             int lb = HT[s].linbits;
-            int16_t *keep = HT[s].tree == HT[16].tree ? NULL : HT[s].tree;
-            (void)keep;
             HT[s] = HT[16];
             HT[s].linbits = (uint8_t)lb;
         }

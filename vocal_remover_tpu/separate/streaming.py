@@ -541,14 +541,17 @@ class StreamingSeparator:
         returning (max |X|, lexicographic-max real, its max imag) —
         exactly the global spectrogram's frames (reflect-padded edges
         included), with no O(song) host FFT and no O(chunk) constants
-        baked into the graph."""
+        baked into the graph. The lexicographic complex max is only
+        consumed by TTA normalization, so non-TTA streams skip those
+        reductions and return zeros for (r, i)."""
         n_fft, hop = self.model.n_fft, self.model.hop_length
         pad = n_fft // 2
         n_frame = num_frames(wave.shape[-1], n_fft, hop)
         # chunk_frames stays FIXED across songs (short songs mask the
         # tail) so this helper, too, compiles exactly once
         slice_len = (chunk_frames - 1) * hop + n_fft
-        fn = self._seg_fns.get(("stats", chunk_frames))
+        tta = self.tta
+        fn = self._seg_fns.get(("stats", chunk_frames, tta))
         if fn is None:
             pcm16 = self.pcm16_io
             window = jnp.asarray(hann_window(n_fft))
@@ -564,12 +567,14 @@ class StreamingSeparator:
                 im = jnp.imag(spec).astype(jnp.float32)
                 ok = valid[None, :, None] > 0
                 mag = jnp.where(ok, jnp.sqrt(re * re + im * im), 0.0)
+                if not tta:
+                    return (jnp.max(mag),)
                 neg = jnp.float32(-np.inf)
                 r_max = jnp.max(jnp.where(ok, re, neg))
                 i_at = jnp.max(jnp.where(ok & (re == r_max), im, neg))
                 return jnp.max(mag), r_max, i_at
 
-            fn = self._seg_fns[("stats", chunk_frames)] = stats
+            fn = self._seg_fns[("stats", chunk_frames, tta)] = stats
 
         mag_max = 0.0
         cands = []
@@ -578,9 +583,13 @@ class StreamingSeparator:
             win = self._wave_window(wave, lo, lo + slice_len)
             t = np.arange(t0, t0 + chunk_frames)
             valid = (t < n_frame).astype(np.float32)
-            m, r, i = fn(win, valid)
-            mag_max = max(mag_max, float(m))
-            cands.append((float(r), float(i)))
-        r_star = max(r for r, _ in cands)
-        i_star = max(i for r, i in cands if r == r_star)
+            out = fn(win, valid)
+            mag_max = max(mag_max, float(out[0]))
+            if tta:
+                cands.append((float(out[1]), float(out[2])))
+        if tta:
+            r_star = max(r for r, _ in cands)
+            i_star = max(i for r, i in cands if r == r_star)
+        else:
+            r_star = i_star = 0.0
         return (mag_max if mag_max > 0 else 1.0), r_star, i_star
