@@ -77,8 +77,35 @@ def _get():
     ]
     lib.oracle_free.restype = None
     lib.oracle_free.argtypes = [ctypes.c_void_p]
+    lib.oracle_log_capture.restype = None
+    lib.oracle_log_capture.argtypes = [ctypes.c_int]
+    lib.oracle_last_log.restype = ctypes.c_char_p
+    lib.oracle_last_log.argtypes = []
+    lib.oracle_clear_log.restype = None
+    lib.oracle_clear_log.argtypes = []
     _lib = lib
     return lib
+
+
+def log_capture(enable: bool = True) -> None:
+    """Route libav diagnostics into a ring buffer (read with last_log)
+    instead of stderr — the extraction rig classifies probe frames by
+    these messages."""
+    lib = _get()
+    if lib is None:
+        raise RuntimeError("libav oracle unavailable")
+    lib.oracle_log_capture(1 if enable else 0)
+
+
+def last_log() -> str:
+    lib = _get()
+    return lib.oracle_last_log().decode(errors="replace") if lib else ""
+
+
+def clear_log() -> None:
+    lib = _get()
+    if lib is not None:
+        lib.oracle_clear_log()
 
 
 def have_oracle() -> bool:

@@ -13,8 +13,48 @@
 #include <libavformat/avformat.h>
 #include <libavutil/channel_layout.h>
 #include <libavutil/opt.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* log capture: the table-extraction rig classifies probe streams by   */
+/* the decoder's diagnostic messages (e.g. "Gain control is not        */
+/* implemented" fires iff a specific bit position read 1), so keep a   */
+/* ring of recent log lines instead of spamming stderr.                */
+
+static char log_buf[8192];
+static size_t log_len = 0;
+
+static void log_cb(void *avcl, int level, const char *fmt, va_list vl) {
+    (void)avcl;
+    if (level > AV_LOG_WARNING) return;
+    if (log_len < sizeof(log_buf) - 256) {
+        int n = vsnprintf(log_buf + log_len, sizeof(log_buf) - log_len - 1,
+                          fmt, vl);
+        if (n > 0) log_len += (size_t)n;
+    }
+}
+
+void oracle_log_capture(int enable) {
+    if (enable) {
+        av_log_set_callback(log_cb);
+    } else {
+        av_log_set_callback(av_log_default_callback);
+    }
+    log_len = 0;
+    log_buf[0] = 0;
+}
+
+const char *oracle_last_log(void) {
+    log_buf[log_len] = 0;
+    return log_buf;
+}
+
+void oracle_clear_log(void) {
+    log_len = 0;
+    log_buf[0] = 0;
+}
 
 /* ------------------------------------------------------------------ */
 /* decode: any container/codec -> interleaved float32                  */
@@ -32,7 +72,13 @@ int oracle_decode_file(const char *path, float **out, long long *n_samples,
     int ch = 0, sr = 0, rc = -1, stream_idx = -1;
     err[0] = 0;
 
-    if (avformat_open_input(&fmt, path, NULL, NULL) < 0) {
+    /* tiny hand-crafted ADTS probe files score too low for format
+     * auto-detection — force the demuxer by extension */
+    const AVInputFormat *ifmt = NULL;
+    size_t plen = strlen(path);
+    if (plen > 4 && !strcmp(path + plen - 4, ".aac"))
+        ifmt = av_find_input_format("aac");
+    if (avformat_open_input(&fmt, path, ifmt, NULL) < 0) {
         snprintf(err, errlen, "open_input failed");
         goto done;
     }

@@ -83,6 +83,18 @@ def mp3_decode(data: bytes):
     return pcm, sr
 
 
+def aac_decode(data: bytes):
+    """AAC-LC bytes (ADTS stream or MP4/M4A container) -> ((n, ch)
+    float32 pcm, sample_rate), or None when the extension is
+    unavailable (caller falls back to ffmpeg or errors clearly)."""
+    mod = get()
+    if mod is None or not hasattr(mod, "aac_decode"):
+        return None
+    raw, n, ch, sr = mod.aac_decode(data)
+    pcm = np.frombuffer(raw, np.float32).reshape(n, ch)
+    return pcm, sr
+
+
 def quantize_u8(a: np.ndarray):
     """float32 array -> ({"q": uint8 array, "scale": f32}, or None when
     the extension is unavailable). Fused max+clip+round single-stream

@@ -17,6 +17,7 @@ SRCS = [
     os.path.join(HERE, "vrtnative.c"),
     os.path.join(HERE, "flacdec.c"),
     os.path.join(HERE, "mp3dec.c"),
+    os.path.join(HERE, "aacdec.c"),
 ]
 SRC = SRCS[0]  # mtime anchor (back-compat name)
 SO = os.path.join(

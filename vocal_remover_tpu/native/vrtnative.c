@@ -231,6 +231,14 @@ static PyObject *quantize_u8(PyObject *self, PyObject *args) {
 /* flacdec.c */
 extern PyObject *vrt_flac_decode(PyObject *self, PyObject *args);
 
+/* aacdec.c */
+extern PyObject *vrt_aac_decode(PyObject *self, PyObject *args);
+extern PyObject *vrt_aac_huff_get(PyObject *self, PyObject *args);
+extern PyObject *vrt_aac_huff_set(PyObject *self, PyObject *args);
+extern PyObject *vrt_aac_swb_set(PyObject *self, PyObject *args);
+extern PyObject *vrt_aac_set_out_scale(PyObject *self, PyObject *args);
+extern PyObject *vrt_aac_tns_max_set(PyObject *self, PyObject *args);
+
 /* mp3dec.c */
 extern PyObject *vrt_mp3_decode(PyObject *self, PyObject *args);
 extern PyObject *vrt_mp3_decode_trace(PyObject *self, PyObject *args);
@@ -265,6 +273,18 @@ static PyMethodDef Methods[] = {
      "dev: replace the synthesis window (extraction harness hook)"},
     {"mp3_table_stats", vrt_mp3_table_stats, METH_VARARGS,
      "dev: huffman table usage counters"},
+    {"aac_decode", vrt_aac_decode, METH_VARARGS,
+     "AAC-LC ADTS/MP4 bytes -> (float32 pcm bytes, n, channels, sr)"},
+    {"aac_huff_get", vrt_aac_huff_get, METH_VARARGS,
+     "dev: (dims, lav, lens, codes_u32) of an AAC huffman book"},
+    {"aac_huff_set", vrt_aac_huff_set, METH_VARARGS,
+     "dev: replace an AAC huffman book (extraction harness hook)"},
+    {"aac_swb_set", vrt_aac_swb_set, METH_VARARGS,
+     "dev: set a scalefactor-band offset table (u16le offsets)"},
+    {"aac_set_out_scale", vrt_aac_set_out_scale, METH_VARARGS,
+     "dev: set the output calibration scale"},
+    {"aac_tns_max_set", vrt_aac_tns_max_set, METH_VARARGS,
+     "dev: set TNS max band caps for one sampling-rate index"},
     {NULL, NULL, 0, NULL},
 };
 
