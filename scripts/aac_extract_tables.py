@@ -359,6 +359,10 @@ def num_swb_from_log(sr: int, long_win: bool) -> int:
     import re
     m = re.search(r"exceeds limit \((\d+)\)", text)
     if not m:
+        if not long_win:
+            # short max_sfb is a 4-bit field: when the rate's limit is
+            # exactly 15, max_sfb=15 is legal and no diagnostic fires
+            return 15
         raise RuntimeError(f"swb[{sr}]: no limit diagnostic: {text!r}")
     return int(m.group(1))
 
@@ -472,7 +476,7 @@ def extract_swb_short(book1: dict, sf0: str, sr: int,
     for k in range(1, n_swb):
         seg = None
         # per band: 8 windows x width/4 quads; probe value in window 0
-        for quads in range(1, 9):
+        for quads in range(1, 33):
             # zero bands 0..k-1 read no spectral bits; band k reads
             # 8 windows x `quads` codewords (probe value in window 0)
             spec = one_cw + zero_cw * (quads - 1) + \
@@ -497,11 +501,89 @@ def extract_swb_short(book1: dict, sf0: str, sr: int,
     return offsets
 
 
+def _fmt_arr(vals, per=14):
+    out = []
+    for i in range(0, len(vals), per):
+        out.append("    " + ",".join(str(v) for v in vals[i:i + per]) +
+                   ",")
+    return "\n".join(out)
+
+
+def bake(state) -> None:
+    """rewrite the EXTRACTED TABLES block in native/aacdec.c"""
+    chunks = []
+    # scalefactor book (id 0): index delta+60
+    lens = [0] * 121
+    codes = [0] * 121
+    for cw, delta in state["sf"].items():
+        lens[delta + 60] = len(cw)
+        codes[delta + 60] = int(cw, 2)
+    assert all(lens)
+    chunks.append(f"static const uint8_t aac_sf_len[121] = {{\n"
+                  f"{_fmt_arr(lens)}\n}};\n"
+                  f"static const uint32_t aac_sf_code[121] = {{\n"
+                  f"{_fmt_arr(codes, 8)}\n}};")
+    binds = ["    HCB[0].len = aac_sf_len; HCB[0].code = aac_sf_code;"]
+    for b in BOOKS:
+        t = state[f"book{b}"]
+        dims, lav, signed = BOOKS[b]
+        n = ((2 * lav + 1) if signed else
+             (lav + 1 if b != 11 else 17)) ** dims
+        lens = [0] * n
+        codes = [0] * n
+        for cw, vals in t.items():
+            idx = spectral_index(b, vals)
+            lens[idx] = len(cw)
+            codes[idx] = int(cw, 2)
+        assert all(lens), f"book {b} incomplete"
+        chunks.append(
+            f"static const uint8_t aac_b{b}_len[{n}] = {{\n"
+            f"{_fmt_arr(lens)}\n}};\n"
+            f"static const uint32_t aac_b{b}_code[{n}] = {{\n"
+            f"{_fmt_arr(codes, 8)}\n}};")
+        binds.append(f"    HCB[{b}].len = aac_b{b}_len; "
+                     f"HCB[{b}].code = aac_b{b}_code;")
+    for sr in RATES:
+        i = RATES.index(sr)
+        lo = state["swb_long"][str(sr)]
+        sh = state["swb_short"][str(sr)]
+        chunks.append(
+            f"static const uint16_t aac_swbl_{i}[{len(lo)}] = "
+            f"{{{','.join(map(str, lo))}}};\n"
+            f"static const uint16_t aac_swbs_{i}[{len(sh)}] = "
+            f"{{{','.join(map(str, sh))}}};")
+        binds.append(
+            f"    memcpy(SWB[{i}].off_long, aac_swbl_{i}, "
+            f"sizeof(aac_swbl_{i}));\n"
+            f"    SWB[{i}].num_long = {len(lo) - 1};\n"
+            f"    memcpy(SWB[{i}].off_short, aac_swbs_{i}, "
+            f"sizeof(aac_swbs_{i}));\n"
+            f"    SWB[{i}].num_short = {len(sh) - 1};\n"
+            f"    SWB[{i}].valid = 1;")
+    blob = ("/* ORACLE-EXTRACTED tables "
+            "(scripts/aac_extract_tables.py --bake): every codeword\n"
+            " * individually probed against the libav decoder; see that"
+            " file's header. */\n" +
+            "\n".join(chunks) +
+            "\n\nstatic void aac_tables_bind(void) {\n" +
+            "\n".join(binds) + "\n}\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "vocal_remover_tpu", "native",
+        "aacdec.c")
+    src = open(path).read()
+    start = src.index("/* BEGIN EXTRACTED TABLES */")
+    end = src.index("/* END EXTRACTED TABLES */")
+    src = (src[:start] + "/* BEGIN EXTRACTED TABLES */\n" + blob +
+           src[end:])
+    open(path, "w").write(src)
+    print(f"baked tables into {path}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="sf",
                     choices=["sf", "book1", "books", "sfvals", "swb",
-                             "swbshort"])
+                             "swbshort", "bake"])
     ap.add_argument("--books", type=str, default="")
     ap.add_argument("--rates", type=str, default="")
     ap.add_argument("--out", type=str, default="/tmp/aac_tables.json")
@@ -543,6 +625,9 @@ def main(argv=None):
             print(f"extracting long swb table @ {sr} ...")
             swb[str(sr)] = extract_swb_long(book1, sf0, sr)
         state["swb_long"] = swb
+    elif args.stage == "bake":
+        bake(state)
+        return
     elif args.stage == "swbshort":
         book1 = {c: tuple(v) for c, v in state["book1"].items()}
         sf0 = state["sf0"]

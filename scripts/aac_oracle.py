@@ -73,6 +73,7 @@ def _get():
         ctypes.c_int,
         ctypes.c_char_p,
         ctypes.c_char_p,
+        ctypes.c_char_p,
         ctypes.c_int,
     ]
     lib.oracle_free.restype = None
@@ -147,10 +148,11 @@ def decode_bytes(data: bytes, suffix: str = ".m4a") -> tuple[np.ndarray, int]:
 
 
 def encode_aac(wave: np.ndarray, sr: int, container: str = "m4a",
-               bitrate: int = 128_000) -> bytes:
+               bitrate: int = 128_000, opts: str = "") -> bytes:
     """Encode a (ch, n) or (n,) float wave as AAC-LC.
 
-    container: "m4a", "mp4", or "adts" (raw .aac stream)."""
+    container: "m4a", "mp4", or "adts" (raw .aac stream).
+    opts: libav private options, e.g. "aac_pns=0:aac_tns=1"."""
     lib = _get()
     if lib is None:
         raise RuntimeError("libav oracle unavailable")
@@ -166,7 +168,7 @@ def encode_aac(wave: np.ndarray, sr: int, container: str = "m4a",
         rc = lib.oracle_encode_aac(
             pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             pcm.shape[0], pcm.shape[1], sr, bitrate, path.encode(),
-            err, len(err))
+            opts.encode(), err, len(err))
         if rc != 0:
             raise RuntimeError(f"oracle encode failed: {err.value.decode()}")
         with open(path, "rb") as f:

@@ -183,7 +183,7 @@ done:
 
 int oracle_encode_aac(const float *pcm, long long n_samples, int channels,
                       int sample_rate, int bitrate, const char *outpath,
-                      char *err, int errlen) {
+                      const char *opts, char *err, int errlen) {
     AVFormatContext *fmt = NULL;
     AVCodecContext *ctx = NULL;
     AVPacket *pkt = NULL;
@@ -205,7 +205,12 @@ int oracle_encode_aac(const float *pcm, long long n_samples, int channels,
     ctx->bit_rate = bitrate;
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
         ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-    if (avcodec_open2(ctx, enc, NULL) < 0) {
+    AVDictionary *dict = NULL;
+    if (opts && opts[0])
+        av_dict_parse_string(&dict, opts, "=", ":", 0);
+    int orc = avcodec_open2(ctx, enc, &dict);
+    av_dict_free(&dict);
+    if (orc < 0) {
         snprintf(err, errlen, "encoder open failed");
         goto done;
     }

@@ -1,0 +1,403 @@
+"""Native AAC-LC decoder (native/aacdec.c) vs the libav oracle.
+
+Closes the reference's .m4a/.mp4 ingest path (reference decodes these
+via librosa -> audioread -> ffmpeg; inference.py:136-138,
+lib/dataset.py:147) without an external backend.
+
+Evidence layers (mirrors tests/test_mp3.py):
+  1. Full-file decodes of libav-encoded fixtures across containers
+     (ADTS/.m4a/.mp4), sample rates, channel counts, and tool
+     combinations (M/S, intensity, TNS, short windows) — >= 90 dB SNR
+     against the libav decoder (float decoders agree to ~130 dB).
+  2. Feature probes built with the hand-rolled bitstream writer
+     (scripts/aac_bitstream.py) for tools and parameter corners the
+     encoder rarely emits: TNS filter variants, KBD window shape,
+     pulse data, PNS energy ladder.
+  3. A sampled table regression re-running the oracle extraction
+     probes against the baked Huffman/swb tables.
+
+PNS noise is decoder-specific by spec, so PNS streams are compared by
+band ENERGY, not waveform. The oracle (libavformat/libavcodec via
+scripts/aac_oracle.py) is test-only: the shipped decoder has no libav
+dependency — its tables are baked into aacdec.c.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from vocal_remover_tpu import native
+from vocal_remover_tpu.utils import audio
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+import aac_oracle as oracle  # noqa: E402
+from aac_bitstream import SCE, BitWriter, probe_stream  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ext():
+    mod = native.get()
+    if mod is None or not hasattr(mod, "aac_decode"):
+        pytest.skip("native extension unavailable")
+    return mod
+
+
+@pytest.fixture(scope="module")
+def orc():
+    if not oracle.have_oracle():
+        pytest.skip("libav oracle unavailable")
+    oracle.log_capture(True)
+    return oracle
+
+
+def _tone(sr, secs=1.5, ch=1, seed=0):
+    t = np.arange(int(sr * secs)) / sr
+    rng = np.random.default_rng(seed)
+    base = 0.35 * np.sin(2 * np.pi * 440 * t) + \
+        0.1 * np.sin(2 * np.pi * 1317 * t) + \
+        0.02 * rng.standard_normal(t.size)
+    if ch == 1:
+        return base.astype(np.float32)
+    return np.stack([base, np.roll(base, 131) * 0.8]).astype(np.float32)
+
+
+def _snr(ref, mine):
+    assert ref.shape == mine.shape, (ref.shape, mine.shape)
+    err = np.abs(ref - mine).max()
+    return 20 * np.log10((np.abs(ref).max() + 1e-30) / (err + 1e-30))
+
+
+def _decode_native(ext, data):
+    raw, n, ch, sr = ext.aac_decode(data)
+    return np.frombuffer(raw, np.float32).reshape(n, ch), sr
+
+
+# --------------------------------------------------------------------
+# 1. full-file oracle parity across the encoder matrix
+
+CASES = [
+    # (name, sr, ch, container, encoder opts)
+    ("adts_mono_44k", 44100, 1, "adts", "aac_pns=0"),
+    ("adts_stereo_44k", 44100, 2, "adts", "aac_pns=0"),
+    ("m4a_stereo", 44100, 2, "m4a", "aac_pns=0"),
+    ("mp4_stereo", 44100, 2, "mp4", "aac_pns=0"),
+    ("adts_48k", 48000, 2, "adts", "aac_pns=0"),
+    ("adts_32k", 32000, 1, "adts", "aac_pns=0"),
+    ("adts_22k", 22050, 2, "adts", "aac_pns=0"),
+    ("adts_16k", 16000, 1, "adts", "aac_pns=0"),
+    ("adts_8k", 8000, 1, "adts", "aac_pns=0"),
+    ("ms_on", 44100, 2, "adts", "aac_pns=0:aac_ms=1"),
+    ("is_on", 44100, 2, "adts", "aac_pns=0:aac_is=1"),
+    ("tns_on", 44100, 2, "adts", "aac_pns=0:aac_tns=1"),
+    ("all_tools", 44100, 2, "adts",
+     "aac_pns=0:aac_tns=1:aac_ms=1:aac_is=1"),
+]
+
+
+@pytest.mark.parametrize("name,sr,ch,cont,opts", CASES,
+                         ids=[c[0] for c in CASES])
+def test_oracle_parity(ext, orc, name, sr, ch, cont, opts):
+    data = orc.encode_aac(_tone(sr, ch=ch), sr, container=cont,
+                          opts=opts)
+    sfx = {"adts": ".aac", "m4a": ".m4a", "mp4": ".mp4"}[cont]
+    ref, ref_sr = orc.decode_bytes(data, suffix=sfx)
+    mine, my_sr = _decode_native(ext, data)
+    assert my_sr == ref_sr == sr
+    assert mine.shape == ref.shape
+    assert _snr(ref, mine) > 90.0
+
+
+def test_noisy_lowrate_tools(ext, orc):
+    """noisy correlated stereo at low bitrate exercises heavy TNS,
+    section escapes, and window transitions"""
+    sr = 44100
+    t = np.arange(sr * 3) / sr
+    rng = np.random.default_rng(7)
+    base = 0.3 * np.sin(2 * np.pi * 330 * t) + \
+        0.15 * rng.standard_normal(t.size)
+    w = np.stack([base + 0.05 * rng.standard_normal(t.size),
+                  base + 0.05 * rng.standard_normal(t.size)]
+                 ).astype(np.float32)
+    data = orc.encode_aac(w, sr, container="adts", bitrate=48000,
+                          opts="aac_pns=0:aac_tns=1:aac_ms=1:aac_is=1")
+    ref, _ = orc.decode_bytes(data, suffix=".aac")
+    mine, _ = _decode_native(ext, data)
+    assert _snr(ref, mine) > 90.0
+
+
+def test_transients_short_windows(ext, orc):
+    """click train forces EIGHT_SHORT sequences + START/STOP
+    transitions"""
+    sr = 44100
+    w = np.zeros(sr * 2, np.float32)
+    w[::4410] = 0.9
+    w2 = np.stack([w, 0.5 * w])
+    data = orc.encode_aac(w2, sr, container="adts", opts="aac_pns=0")
+    ref, _ = orc.decode_bytes(data, suffix=".aac")
+    mine, _ = _decode_native(ext, data)
+    assert _snr(ref, mine) > 90.0
+
+
+def test_pns_band_energy(ext, orc):
+    """PNS waveforms are decoder-specific by spec: compare stream
+    ENERGY of pure-noise-band streams across gains (the energy ladder
+    pins the 2^(sf/4) band-total convention)"""
+    import json
+    for pcm9, gg in ((296, 100), (316, 100), (296, 108)):
+        w = BitWriter()
+        w.put(pcm9, 9)
+        f = SCE(global_gain=gg, max_sfb=24,
+                sections=[(0, 20), (13, 4)],
+                sf_bits="".join(w.bits) + _sf_delta0(ext) * 3,
+                spectral_bits="")
+        data = probe_stream([f] * 12)
+        ref, _ = orc.decode_bytes(data, suffix=".aac")
+        mine, _ = _decode_native(ext, data)
+        r = np.sqrt((ref ** 2).mean())
+        m = np.sqrt((mine ** 2).mean())
+        assert abs(m / r - 1.0) < 0.05, (pcm9, gg, m / r)
+    del json
+
+
+# --------------------------------------------------------------------
+# 2. crafted feature probes
+
+def _book_cw(ext, book, want):
+    """codeword bits for a value tuple, from the baked tables"""
+    dims, lav, lens_b, codes_b = ext.aac_huff_get(book)
+    lens = list(lens_b)
+    codes = np.frombuffer(codes_b, np.uint32)
+    signed = book in (1, 2, 5, 6)
+    idx = 0
+    base = (2 * lav + 1) if signed else (lav + 1 if book != 11 else 17)
+    for v in want:
+        idx = idx * base + (v + lav if signed else abs(v))
+    return format(codes[idx], f"0{lens[idx]}b")
+
+
+def _sf_delta0(ext):
+    dims, lav, lens_b, codes_b = ext.aac_huff_get(0)
+    lens = list(lens_b)
+    codes = np.frombuffer(codes_b, np.uint32)
+    return format(codes[60], f"0{lens[60]}b")
+
+
+def _probe_snr(ext, orc, frames, sr=44100):
+    data = probe_stream(frames, sr=sr)
+    ref, _ = orc.decode_bytes(data, suffix=".aac")
+    mine, _ = _decode_native(ext, data)
+    L = min(len(ref), len(mine))
+    assert L >= 1024
+    return _snr(ref[:L], mine[:L])
+
+
+def test_probe_kbd_window(ext, orc):
+    """KBD window shape (shape=1) on long windows — the libav encoder
+    emits sine, so this path needs a crafted stream"""
+    one = _book_cw(ext, 1, (1, 0, 0, 0))
+    sf0 = _sf_delta0(ext)
+    frames = [SCE(global_gain=128, max_sfb=2, window_shape=1,
+                  sections=[(1, 2)], sf_bits=sf0 * 2,
+                  spectral_bits=one * 2),
+              SCE(global_gain=120, max_sfb=1, window_shape=0,
+                  sections=[(1, 1)], sf_bits=sf0,
+                  spectral_bits=one)]
+    assert _probe_snr(ext, orc, frames) > 90.0
+
+
+def test_probe_pulse(ext, orc):
+    """pulse_data on a coded band (the reference decoder ignores
+    pulses on zero bands — matched behavior)"""
+    one = _book_cw(ext, 1, (1, 0, 0, 0))
+    sf0 = _sf_delta0(ext)
+    f = SCE(global_gain=110, max_sfb=2, sections=[(1, 2)],
+            sf_bits=sf0 * 2, spectral_bits=one * 2,
+            pulses=[(1, 7), (3, 12)])
+    assert _probe_snr(ext, orc, [f]) > 90.0
+
+
+def test_probe_tns_variants(ext, orc):
+    """TNS across resolution/compression/direction/order, reaching the
+    band cap (tns_max_bands) region"""
+    one = _book_cw(ext, 1, (1, -1, 1, -1))
+    sf0 = _sf_delta0(ext)
+
+    def tns_bits(length, order, coefs, coef_res=0, direction=0,
+                 compress=0):
+        w = BitWriter()
+        w.put(1, 2)
+        w.put(coef_res, 1)
+        w.put(length, 6)
+        w.put(order, 5)
+        w.put(direction, 1)
+        w.put(compress, 1)
+        clen = coef_res + 3 - compress
+        for c in coefs:
+            w.put(c & ((1 << clen) - 1), clen)
+        return "".join(w.bits)
+
+    for max_sfb in (8, 45, 49):
+        import json
+        del json
+        offs = _swb_long(ext, 44100)
+        quads = (offs[max_sfb] - offs[0]) // 4
+        spec = one * quads
+        for tb in (tns_bits(49, 1, (1,)),
+                   tns_bits(49, 2, (1, 2), coef_res=1),
+                   tns_bits(49, 1, (7,), compress=0),
+                   tns_bits(63, 3, (1, 6, 3), direction=1)):
+            f = SCE(global_gain=128, max_sfb=max_sfb,
+                    sections=[(1, max_sfb)], sf_bits=sf0 * max_sfb,
+                    spectral_bits=spec, tns_bits=tb)
+            assert _probe_snr(ext, orc, [f]) > 90.0, (max_sfb, tb[:20])
+
+
+def _swb_long(ext, sr):
+    # recover the baked swb offsets by decoding band starts from the
+    # extraction JSON is not available at test time: read via the
+    # extraction rig's RATES + a probe is overkill — instead keep a
+    # copy of the 44.1k table here (pinned by the sampled regression).
+    assert sr == 44100
+    return [0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 48, 56, 64, 72,
+            80, 88, 96, 108, 120, 132, 144, 160, 176, 196, 216, 240,
+            264, 292, 320, 352, 384, 416, 448, 480, 512, 544, 576,
+            608, 640, 672, 704, 736, 768, 800, 832, 864, 896, 928,
+            1024]
+
+
+def test_probe_escape_values(ext, orc):
+    """book 11 ESC escapes (large quantized values)"""
+    sf0 = _sf_delta0(ext)
+    cw = _book_cw(ext, 11, (16, 1))
+    # x=16 -> ESC: sign bits for both, then escape N=2: "110"+6 bits
+    esc = "110" + "100101"  # value 2^6 + 37 = 101
+    spec = cw + "00" + esc + _book_cw(ext, 11, (1, 0)) + "0"
+    f = SCE(global_gain=100, max_sfb=1, sections=[(11, 1)],
+            sf_bits=sf0, spectral_bits=spec)
+    assert _probe_snr(ext, orc, [f]) > 90.0
+
+
+# --------------------------------------------------------------------
+# 3. sampled table regression against the baked tables
+
+def test_tables_sampled_regression(ext, orc):
+    """re-run oracle extraction probes on a sample of each baked
+    table: scalefactor gain ladder + spectral codeword responses"""
+    import aac_extract_tables as x
+
+    rng = np.random.default_rng(11)
+    basis = x.long_basis(4)
+    sf0 = _sf_delta0(ext)
+    for book in (1, 5, 9, 11):
+        dims, lav, lens_b, codes_b = ext.aac_huff_get(book)
+        lens = list(lens_b)
+        codes = np.frombuffer(codes_b, np.uint32)
+        n = len(lens)
+        signed = book in (1, 2, 5, 6)
+        base = (2 * lav + 1) if signed else \
+            (lav + 1 if book != 11 else 17)
+        for idx in rng.choice(n, size=6, replace=False):
+            # index -> value tuple
+            vals = []
+            ix = int(idx)
+            for _ in range(dims):
+                vals.append(ix % base)
+                ix //= base
+            vals = vals[::-1]
+            if signed:
+                vals = [v - lav for v in vals]
+            if book == 11 and any(v == 16 for v in vals):
+                continue  # escape handled in its own probe
+            cw = format(codes[idx], f"0{lens[idx]}b")
+            tail = ""
+            if not signed:
+                tail = "0" * sum(1 for v in vals if v)
+            filler = ""
+            if dims == 2:
+                zcw = format(codes[0], f"0{lens[0]}b")
+                filler = zcw  # (0,0) needs no signs
+            f = SCE(global_gain=128, max_sfb=1,
+                    sections=[(book, 1)], sf_bits=sf0,
+                    spectral_bits=cw + tail + filler)
+            seg, _ = _decode_one(ext, f)
+            a, *_ = np.linalg.lstsq(basis.T, seg[:1024], rcond=None)
+            got = np.sign(a[:dims]) * np.abs(a[:dims]) ** 0.75
+            # calibrate on the largest component
+            want = np.array(vals, float)
+            nz = np.abs(want) > 0
+            if not nz.any():
+                assert np.abs(a).max() < 1e-9
+                continue
+            c = (np.abs(got[nz]) / np.abs(want[nz]) ** 1.0).mean()
+            got_q = got / c
+            assert np.allclose(got_q, want, atol=0.25), (book, vals,
+                                                         got_q)
+
+
+def _decode_one(ext, frame):
+    data = probe_stream([frame])
+    raw, n, ch, sr = ext.aac_decode(data)
+    pcm = np.frombuffer(raw, np.float32).reshape(n, ch)
+    return pcm[:, 0], sr
+
+
+# --------------------------------------------------------------------
+# 4. malformed input + loader integration
+
+def test_reject_garbage(ext):
+    for bad in (b"", bytes(range(256)) * 40, b"\x00" * 64):
+        with pytest.raises(ValueError):
+            ext.aac_decode(bad)
+
+
+def test_reject_non_lc(ext):
+    """a Main-profile ADTS header must be rejected with a clear
+    message, not misdecoded"""
+    h = BitWriter()
+    h.put(0xFFF, 12)
+    h.put(0, 1)
+    h.put(0, 2)
+    h.put(1, 1)
+    h.put(0, 2)          # profile 0 = Main
+    h.put(4, 4)
+    h.put(0, 1)
+    h.put(1, 3)
+    h.put(0, 4)
+    h.put(64, 13)
+    h.put(0x7FF, 11)
+    h.put(0, 2)
+    data = h.tobytes() + b"\x00" * 57
+    with pytest.raises(ValueError, match="LC"):
+        ext.aac_decode(data)
+
+
+def test_audio_load_m4a(ext, orc, tmp_path):
+    """utils.audio.load ingests .m4a end-to-end (the reference accepts
+    it in datasets, lib/dataset.py:147)"""
+    sr = 44100
+    w = _tone(sr, ch=2)
+    data = orc.encode_aac(w, sr, container="m4a", opts="aac_pns=0")
+    p = tmp_path / "song.m4a"
+    p.write_bytes(data)
+    wave, got_sr = audio.load(str(p), sr=None)
+    assert got_sr == sr
+    assert wave.shape[0] == 2
+    # the decoded audio approximates the source (lossy codec)
+    L = min(wave.shape[1], w.shape[1])
+    lag_err = np.abs(wave[:, :L] - w[:, :L]).mean()
+    assert lag_err < 0.05
+
+
+def test_audio_load_aac_resamples(ext, orc, tmp_path):
+    sr = 22050
+    w = _tone(sr, ch=1)
+    data = orc.encode_aac(w, sr, container="adts")
+    p = tmp_path / "x.aac"
+    p.write_bytes(data)
+    wave, got_sr = audio.load(str(p), sr=44100)
+    assert got_sr == 44100
+    assert wave.ndim == 1 and wave.size > sr  # mono, upsampled

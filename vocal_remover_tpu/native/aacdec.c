@@ -86,13 +86,9 @@ typedef struct {
     int valid;
 } AHuff;
 
-/* BEGIN EXTRACTED TABLES */
-/* placeholders — populated by scripts/aac_extract_tables.py --bake;
- * until then the runtime hook aac_huff_set supplies the tables. */
-__attribute__((unused)) static const uint8_t aac_hcb_placeholder_len[1] = {0};
-__attribute__((unused)) static const uint32_t aac_hcb_placeholder_code[1] = {0};
-#define AAC_TABLES_BAKED 0
-/* END EXTRACTED TABLES */
+/* table data + binder live in the EXTRACTED TABLES block at the end
+ * of this file (written by scripts/aac_extract_tables.py --bake) */
+static void aac_tables_bind(void);
 
 static AHuff HCB[12]; /* 0 = sf, 1..11 spectral */
 static const int BOOK_DIMS[12] = {0, 4, 4, 4, 4, 2, 2, 2, 2, 2, 2, 2};
@@ -168,11 +164,9 @@ static void aac_tables_init(void) {
             HCB[i].n = n;
         }
     }
-#if AAC_TABLES_BAKED
-    /* pointers assigned by the baked block above */
     aac_tables_bind();
-    for (int i = 0; i < 12; i++) ahuff_build(&HCB[i]);
-#endif
+    for (int i = 0; i < 12; i++)
+        if (HCB[i].len) ahuff_build(&HCB[i]);
 }
 
 /* ------------------------------------------------------------------ */
@@ -344,14 +338,64 @@ static void imdct_direct(const float *X, float *x, int n) {
     }
 }
 
-/* The FFT-lattice fast path is added by aacfft.c once its formula is
- * pinned against imdct_direct (tests/test_aac.py); until then the
- * direct form keeps the decoder unambiguous. */
-static void (*imdct_impl)(const float *, float *, int) = imdct_direct;
+/* FFT path: one N/4-point complex DFT (e^{+i}) with pre/post
+ * rotations, then the IMDCT output symmetries fill all N samples:
+ *   d[j] = (X[2j] - i X[M-1-2j]) e^{i a n0 (2j+1/2)}   a = 2pi/N
+ *   D[m] = sum_j d[j] e^{+i 2pi m j / Q}
+ *   w    = D[m] e^{i 2pi m / N}
+ *   x[2m] = (2/N) Re w        x[M+2m]  = -(2/N) Im w
+ *   x[M-1-2m] = -x[2m]        x[N-1-2m] = x[M+2m]
+ * (first half odd-symmetric, second half even-symmetric; verified
+ * against imdct_direct to 4e-14 at N=2048 — tests/test_aac.py). */
+static Cpx imdct_pre_2048[512], imdct_post_2048[512];
+static Cpx imdct_pre_256[64], imdct_post_256[64];
+static int imdct_tw_done = 0;
+
+static void imdct_twiddles(Cpx *pre, Cpx *post, int n) {
+    int n2 = n / 2, n4 = n / 4;
+    double n0 = n2 / 2.0 + 0.5, al = 2.0 * M_PI / n;
+    for (int j = 0; j < n4; j++) {
+        double ph = al * n0 * (2 * j + 0.5);
+        pre[j].re = cos(ph);
+        pre[j].im = sin(ph);
+        double pp = 2.0 * M_PI * j / n;
+        post[j].re = cos(pp);
+        post[j].im = sin(pp);
+    }
+}
+
+static void imdct_fft(const float *X, float *x, int n) {
+    if (!imdct_tw_done) {
+        imdct_tw_done = 1;
+        imdct_twiddles(imdct_pre_2048, imdct_post_2048, 2048);
+        imdct_twiddles(imdct_pre_256, imdct_post_256, 256);
+    }
+    const Cpx *pre = n == 2048 ? imdct_pre_2048 : imdct_pre_256;
+    const Cpx *post = n == 2048 ? imdct_post_2048 : imdct_post_256;
+    int n2 = n / 2, n4 = n / 4;
+    Cpx z[512];
+    for (int j = 0; j < n4; j++) {
+        double a = X[2 * j], b = -(double)X[n2 - 1 - 2 * j];
+        z[j].re = a * pre[j].re - b * pre[j].im;
+        z[j].im = a * pre[j].im + b * pre[j].re;
+    }
+    fft_inplace(z, n4, 1);
+    double s = 2.0 / n;
+    for (int m = 0; m < n4; m++) {
+        double wr = z[m].re * post[m].re - z[m].im * post[m].im;
+        double wi = z[m].re * post[m].im + z[m].im * post[m].re;
+        float e = (float)(s * wr);         /* x[2m] */
+        float o = (float)(-s * wi);        /* x[M+2m] */
+        x[2 * m] = e;
+        x[n2 + 2 * m] = o;
+        x[n2 - 1 - 2 * m] = -e;
+        x[n - 1 - 2 * m] = o;
+    }
+}
 
 static void imdct(const float *X, float *x, int n) {
-    imdct_impl(X, x, n);
-    (void)fft_inplace;
+    imdct_fft(X, x, n);
+    (void)imdct_direct;
 }
 
 /* ------------------------------------------------------------------ */
@@ -473,7 +517,7 @@ static int decode_tns(Bits *b, ICS *ics) {
     int ord_bits = is_short ? 3 : 5;
     int max_order = is_short ? 7 : 12;  /* LC profile */
     for (int w = 0; w < ics->num_windows; w++) {
-        ics->tns_n_filt[w] = (int)bits_get(b, 2);
+        ics->tns_n_filt[w] = (int)bits_get(b, is_short ? 1 : 2);
         if (!ics->tns_n_filt[w]) continue;
         int coef_res = bits_get1(b);
         ics->tns_coef_res[w] = coef_res;
@@ -571,10 +615,15 @@ static int decode_spectral(Bits *b, ICS *ics, const SwbTab *swb) {
             int pos = ics->pulse_pos[i];
             /* grouped order == linear order for long windows */
             int q = quant[pos];
-            /* only audible on coded bands (zero bands are never
-             * dequantized), matching the reference decoder */
-            quant[pos] = q >= 0 ? q + ics->pulse_amp[i]
-                                : q - ics->pulse_amp[i];
+            /* reference-decoder semantics (oracle-pinned): a pulse on
+             * a zero coefficient lands NEGATIVE; nonzero coefficients
+             * grow away from zero. Only audible on coded bands (zero
+             * bands are never dequantized). */
+            if (q == 0)
+                quant[pos] = -ics->pulse_amp[i];
+            else
+                quant[pos] = q > 0 ? q + ics->pulse_amp[i]
+                                   : q - ics->pulse_amp[i];
         }
     }
 
@@ -621,8 +670,11 @@ static void apply_pns(ICS *ics, const SwbTab *swb, uint32_t *rng) {
         for (int k = 0; k < ics->max_sfb; k++) {
             if (ics->band_cb[g][k] != NOISE_HCB) continue;
             int width = off[k + 1] - off[k];
-            double gain = pow(2.0, 0.25 * (ics->sf[g][k] - 100)) *
-                out_scale;
+            /* band TOTAL energy convention (matches the reference
+             * decoder's measured ladder): sqrt(sum x^2) =
+             * 2^(sf/4) * out_scale — oracle-calibrated across
+             * widths/gains in tests/test_aac.py */
+            double gain = pow(2.0, 0.25 * ics->sf[g][k]) * out_scale;
             for (int wi = 0; wi < ics->group_len[g]; wi++) {
                 int dst = is_short ? (gpos + wi) * 128 + off[k]
                                    : off[k];
@@ -633,7 +685,7 @@ static void apply_pns(ICS *ics, const SwbTab *swb, uint32_t *rng) {
                     tmp[i] = (float)((int32_t)*rng) / 2147483648.0f;
                     energy += tmp[i] * tmp[i];
                 }
-                double scale = gain / sqrt(energy / width + 1e-30);
+                double scale = gain / sqrt(energy + 1e-30);
                 for (int i = 0; i < width; i++)
                     ics->coef[dst + i] = (float)(tmp[i] * scale);
             }
@@ -765,7 +817,9 @@ static int decode_ics(Bits *b, ICS *ics, const SwbTab *swb,
     if (ics->tns_present && decode_tns(b, ics)) return -1;
     if (bits_get1(b)) return -1;          /* gain control: not LC */
     if (decode_spectral(b, ics, swb)) return -1;
-    apply_tns(ics, swb, sr_index);
+    /* TNS is applied by the caller AFTER the stereo tools (M/S,
+     * intensity) — spec tool order; sr_index kept for that call */
+    (void)sr_index;
     return 0;
 }
 
@@ -827,6 +881,7 @@ static int decode_raw_block(Decoder *dec, Bits *b, float *out /*1024*MAX_CH*/,
             if (decode_ics(b, &icsL, swb, 0, dec->sr_index)) return -1;
             if (ch >= MAX_CH) return -1;
             apply_pns(&icsL, swb, &dec->cs[ch].rng);
+            apply_tns(&icsL, swb, dec->sr_index);
             filterbank(&icsL, &dec->cs[ch], out + 1024 * ch);
             ch++;
         } else if (id == 1) {             /* CPE */
@@ -853,9 +908,13 @@ static int decode_raw_block(Decoder *dec, Bits *b, float *out /*1024*MAX_CH*/,
             if (decode_ics(b, &icsR, swb, common, dec->sr_index))
                 return -1;
             if (ch + 2 > MAX_CH) return -1;
-            apply_stereo(&icsL, &icsR, swb, ms_present, ms_used);
+            /* tool order: PNS fill, stereo (M/S + intensity), then
+             * TNS per channel, then the filterbank */
             apply_pns(&icsL, swb, &dec->cs[ch].rng);
             apply_pns(&icsR, swb, &dec->cs[ch + 1].rng);
+            apply_stereo(&icsL, &icsR, swb, ms_present, ms_used);
+            apply_tns(&icsL, swb, dec->sr_index);
+            apply_tns(&icsR, swb, dec->sr_index);
             filterbank(&icsL, &dec->cs[ch], out + 1024 * ch);
             filterbank(&icsR, &dec->cs[ch + 1], out + 1024 * (ch + 1));
             ch += 2;
@@ -1458,3 +1517,437 @@ PyObject *vrt_aac_tns_max_set(PyObject *self, PyObject *args) {
     TNS_MAX_BANDS_SHORT[sr_index] = (uint8_t)shrt;
     Py_RETURN_NONE;
 }
+
+/* ------------------------------------------------------------------ */
+/* BEGIN EXTRACTED TABLES */
+/* ORACLE-EXTRACTED tables (scripts/aac_extract_tables.py --bake): every codeword
+ * individually probed against the libav decoder; see that file's header. */
+static const uint8_t aac_sf_len[121] = {
+    18,18,18,18,19,19,19,19,19,19,19,19,19,19,
+    19,19,19,19,19,18,19,18,17,17,16,17,16,16,
+    16,16,15,15,14,14,14,14,14,14,13,13,12,12,
+    12,11,12,11,10,10,10,9,9,8,8,8,7,6,
+    6,5,4,3,1,4,4,5,6,6,7,7,8,8,
+    9,9,10,10,10,11,11,11,11,12,12,13,13,13,
+    14,14,16,15,16,15,18,19,19,19,19,19,19,19,
+    19,19,19,19,19,19,19,19,19,19,19,19,19,19,
+    19,19,19,19,19,19,19,19,19,
+};
+static const uint32_t aac_sf_code[121] = {
+    262120,262118,262119,262117,524277,524273,524269,524278,
+    524270,524271,524272,524284,524285,524287,524286,524279,
+    524280,524283,524281,262116,524282,262115,131055,131056,
+    65525,131054,65522,65523,65524,65521,32758,32759,
+    16377,16373,16375,16371,16374,16370,8183,8181,
+    4089,4087,4086,2041,4084,2040,1017,1015,
+    1013,504,503,250,248,246,121,58,
+    56,26,11,4,0,10,12,27,
+    57,59,120,122,247,249,502,505,
+    1012,1014,1016,2037,2036,2038,2039,4085,
+    4088,8180,8182,8184,16376,16372,65520,32756,
+    65526,32757,262114,524249,524250,524251,524252,524253,
+    524254,524248,524242,524243,524244,524245,524246,524274,
+    524255,524263,524264,524265,524266,524267,524262,524256,
+    524257,524258,524259,524260,524261,524247,524268,524276,
+    524275,
+};
+static const uint8_t aac_b1_len[81] = {
+    11,9,11,10,7,10,11,9,11,10,7,10,7,5,
+    7,9,7,10,11,9,11,9,7,9,11,9,11,9,
+    7,9,7,5,7,9,7,9,7,5,7,5,1,5,
+    7,5,7,9,7,9,7,5,7,9,7,9,11,9,
+    11,9,7,9,11,9,11,10,7,9,7,5,7,9,
+    7,10,11,9,11,10,7,9,11,9,11,
+};
+static const uint32_t aac_b1_code[81] = {
+    2040,497,2045,1013,104,1008,2039,492,
+    2037,1009,114,1012,116,17,118,491,
+    108,1014,2044,481,2033,496,97,502,
+    2034,490,2043,498,105,493,119,23,
+    111,486,100,485,103,21,98,18,
+    0,20,101,22,109,489,99,484,
+    107,19,113,483,112,499,2046,487,
+    2035,495,96,494,2032,482,2042,1011,
+    106,488,117,16,115,500,110,1015,
+    2038,480,2041,1010,102,501,2047,503,
+    2036,
+};
+static const uint8_t aac_b2_len[81] = {
+    9,7,9,8,6,8,9,8,9,8,6,7,6,5,
+    6,7,6,8,9,7,8,8,6,8,9,7,9,8,
+    6,7,6,5,6,7,6,8,6,5,6,5,3,5,
+    6,5,6,8,6,7,6,5,6,8,6,8,9,7,
+    9,8,6,8,8,7,9,8,6,7,6,4,6,8,
+    6,7,9,7,9,7,6,8,9,7,9,
+};
+static const uint32_t aac_b2_code[81] = {
+    499,111,509,235,35,234,503,232,
+    506,242,45,112,32,6,43,110,
+    40,233,505,102,248,231,27,241,
+    500,107,501,236,42,108,44,10,
+    39,103,26,245,36,8,31,9,
+    0,7,29,11,48,239,28,100,
+    30,12,41,243,47,240,508,113,
+    498,244,33,230,247,104,504,238,
+    34,101,49,2,38,237,37,106,
+    507,114,510,105,46,246,511,109,
+    502,
+};
+static const uint8_t aac_b3_len[81] = {
+    1,4,8,4,5,8,9,9,10,4,6,9,6,6,
+    9,9,9,10,9,10,13,9,9,11,11,10,12,4,
+    6,10,6,7,10,10,10,12,5,7,11,6,7,10,
+    9,9,11,9,10,13,8,9,12,10,11,12,8,10,
+    15,9,11,15,13,14,16,8,10,14,9,10,14,12,
+    12,15,11,12,16,10,11,15,12,12,15,
+};
+static const uint32_t aac_b3_code[81] = {
+    0,9,239,11,25,240,491,486,
+    1010,10,53,495,52,55,489,493,
+    487,1011,494,1005,8186,492,498,2041,
+    2040,1016,4088,8,56,1014,54,117,
+    1009,1003,1004,4084,24,118,2036,57,
+    116,1007,499,500,2038,488,1002,8188,
+    242,497,4091,1013,2035,4092,238,1015,
+    32766,496,2037,32765,8187,16378,65535,241,
+    1008,16380,490,1006,16379,4086,4090,32764,
+    2034,4085,65534,1012,2039,32763,4087,4089,
+    32762,
+};
+static const uint8_t aac_b4_len[81] = {
+    4,5,8,5,4,8,9,8,11,5,5,8,5,4,
+    8,8,7,10,9,8,11,8,8,10,11,10,11,4,
+    5,8,4,4,8,8,8,10,4,4,8,4,4,7,
+    8,7,9,8,8,10,7,7,9,10,9,10,8,8,
+    11,8,7,10,11,10,12,8,7,10,7,7,9,10,
+    9,11,11,10,12,10,9,11,11,10,11,
+};
+static const uint32_t aac_b4_code[81] = {
+    7,22,246,24,8,239,495,243,
+    2040,25,23,237,21,1,226,240,
+    112,1008,494,241,2042,238,228,1010,
+    2038,1007,2045,5,20,242,9,4,
+    229,244,232,1012,6,2,231,3,
+    0,107,227,105,499,235,230,1014,
+    110,106,500,1004,496,1017,245,236,
+    2043,234,111,1015,2041,1011,4095,233,
+    109,1016,108,104,501,1006,498,2036,
+    2039,1009,4094,1005,497,2037,2046,1013,
+    2044,
+};
+static const uint8_t aac_b5_len[81] = {
+    13,12,11,11,10,11,11,12,13,12,11,10,9,8,
+    9,10,11,12,12,10,9,8,7,8,9,10,11,11,
+    9,8,5,4,5,8,9,11,10,8,7,4,1,4,
+    7,8,11,11,9,8,5,4,5,8,9,11,11,10,
+    9,8,7,8,9,10,11,12,11,10,9,8,9,10,
+    11,12,13,12,12,11,10,10,11,12,13,
+};
+static const uint32_t aac_b5_code[81] = {
+    8191,4087,2036,2024,1009,2030,2041,4088,
+    8189,4093,2033,1000,488,240,492,1006,
+    2034,4090,4084,1007,498,232,112,236,
+    496,1002,2035,2027,491,234,26,8,
+    25,238,495,2029,1008,242,115,11,
+    0,10,113,243,2025,2031,494,239,
+    24,9,27,235,489,2028,2038,1003,
+    499,237,114,233,497,1005,2039,4086,
+    2032,1001,493,241,490,1004,2040,4089,
+    8188,4092,4085,2026,1011,1010,2037,4091,
+    8190,
+};
+static const uint8_t aac_b6_len[81] = {
+    11,10,9,9,9,9,9,10,11,10,9,8,7,7,
+    7,8,9,10,9,8,6,6,6,6,6,8,9,9,
+    7,6,4,4,4,6,7,9,9,7,6,4,4,4,
+    6,7,9,9,7,6,4,4,4,6,7,9,9,8,
+    6,6,6,6,6,8,9,10,9,8,7,7,7,7,
+    8,10,11,10,9,9,9,9,9,10,11,
+};
+static const uint32_t aac_b6_code[81] = {
+    2046,1021,497,491,500,490,496,1020,
+    2045,1014,485,234,108,113,104,240,
+    486,1015,499,239,50,39,40,38,
+    49,235,503,488,111,46,8,4,
+    6,41,107,494,495,114,45,2,
+    0,3,47,115,506,487,110,43,
+    7,1,5,44,109,492,505,238,
+    48,36,42,37,51,236,498,1016,
+    484,237,106,112,105,116,241,1018,
+    2047,1017,502,493,504,489,501,1019,
+    2044,
+};
+static const uint8_t aac_b7_len[64] = {
+    1,3,6,7,8,9,10,11,3,4,6,7,8,8,
+    9,9,6,6,7,8,8,9,9,10,7,7,8,8,
+    9,9,10,10,8,8,9,9,10,10,10,11,9,8,
+    9,9,10,10,11,11,10,9,9,10,10,11,12,12,
+    11,10,10,10,11,11,12,12,
+};
+static const uint32_t aac_b7_code[64] = {
+    0,5,55,116,242,491,1005,2039,
+    4,12,53,113,236,238,494,501,
+    54,52,114,234,241,489,499,1013,
+    115,112,235,240,497,496,1004,1018,
+    243,237,488,495,1007,1009,1017,2043,
+    493,239,490,498,1011,1016,2041,2044,
+    1006,492,500,1012,1015,2040,4093,4094,
+    2038,1008,1010,1014,2042,2045,4092,4095,
+};
+static const uint8_t aac_b8_len[64] = {
+    5,4,5,6,7,8,9,10,4,3,4,5,6,7,
+    7,8,5,4,4,5,6,7,7,8,6,5,5,6,
+    6,7,8,8,7,6,6,6,7,7,8,9,8,7,
+    6,7,7,8,8,10,9,7,7,8,8,8,9,9,
+    10,8,8,8,9,9,9,10,
+};
+static const uint32_t aac_b8_code[64] = {
+    14,5,16,48,111,241,506,1022,
+    3,0,4,18,44,106,117,248,
+    15,2,6,20,46,105,114,245,
+    47,17,19,42,50,108,236,250,
+    113,43,45,49,109,112,242,505,
+    239,104,51,107,110,238,249,1020,
+    504,116,115,237,240,246,502,509,
+    1021,243,244,247,503,507,508,1023,
+};
+static const uint8_t aac_b9_len[169] = {
+    1,3,6,8,9,10,10,11,11,12,12,13,13,3,
+    4,6,7,8,8,9,10,10,10,11,12,12,6,6,
+    7,8,8,9,10,10,10,11,12,12,12,8,7,8,
+    9,9,10,10,11,11,11,12,12,13,9,8,9,9,
+    10,10,11,11,11,12,12,12,13,10,9,9,10,11,
+    11,11,12,11,12,12,13,13,11,9,10,11,11,11,
+    12,12,12,12,13,13,13,11,10,10,11,11,12,12,
+    13,13,13,13,13,13,11,10,10,11,11,11,12,12,
+    13,13,14,13,14,11,10,11,11,12,12,12,12,13,
+    13,14,14,14,12,11,11,12,12,12,13,13,13,14,
+    14,14,15,12,11,12,12,12,13,13,13,13,14,14,
+    15,15,13,12,12,12,13,13,13,13,14,14,14,14,
+    15,
+};
+static const uint32_t aac_b9_code[169] = {
+    0,5,55,231,478,974,985,1992,
+    1997,4040,4061,8164,8172,4,12,53,
+    114,234,237,482,977,979,992,2008,
+    4047,4053,54,52,113,232,236,481,
+    975,989,987,2000,4039,4052,4068,230,
+    112,233,477,483,978,988,1996,1994,
+    2014,4056,4074,8155,479,235,476,486,
+    981,990,1995,2013,2012,4045,4066,4071,
+    8161,976,480,484,982,1989,2001,2011,
+    4050,2016,4057,4075,8163,8169,1988,485,
+    983,1990,1999,2010,4043,4058,4067,4073,
+    8166,8179,8183,2003,984,993,2004,2009,
+    4051,4062,8157,8153,8162,8170,8177,8182,
+    2002,980,986,1991,2007,2018,4046,4059,
+    8152,8174,16368,8180,16370,2017,991,1993,
+    2006,4042,4048,4069,4070,8171,8175,16371,
+    16372,16373,4064,1998,2005,4038,4049,4065,
+    8160,8168,8176,16369,16376,16374,32764,4072,
+    2015,4041,4055,4060,8156,8159,8173,8181,
+    16377,16379,32765,32766,8167,4044,4054,4063,
+    8158,8154,8165,8178,16378,16375,16380,16381,
+    32767,
+};
+static const uint8_t aac_b10_len[169] = {
+    6,5,6,6,7,8,9,10,10,10,11,11,12,5,
+    4,4,5,6,7,7,8,8,9,10,10,11,6,4,
+    5,5,6,6,7,8,8,9,9,10,10,6,5,5,
+    5,6,7,7,8,8,9,9,10,10,7,6,6,6,
+    6,7,7,8,8,9,9,10,10,8,7,6,7,7,
+    7,8,8,8,9,10,10,11,9,7,7,7,7,8,
+    8,9,9,9,10,10,11,9,8,8,8,8,8,9,
+    9,9,10,10,11,11,9,8,8,8,8,8,9,9,
+    10,10,10,11,11,10,9,9,9,9,9,9,10,10,
+    10,11,11,12,10,9,9,9,9,10,10,10,10,11,
+    11,11,12,11,10,9,10,10,10,10,10,11,11,11,
+    11,12,11,10,10,10,10,10,10,11,11,12,12,12,
+    12,
+};
+static const uint32_t aac_b10_code[169] = {
+    34,8,29,38,95,211,463,976,
+    983,1005,2032,2038,4093,7,0,1,
+    9,32,84,96,213,220,468,973,
+    990,2023,28,2,6,12,30,40,
+    91,205,217,462,476,985,1009,37,
+    11,10,13,36,87,97,204,221,
+    460,478,979,999,93,33,31,35,
+    39,89,100,216,223,466,482,989,
+    1006,209,85,41,86,88,98,206,
+    224,226,474,980,995,2027,457,94,
+    90,92,99,202,218,455,458,480,
+    987,1000,2028,483,210,203,208,215,
+    219,454,469,472,970,986,2026,2033,
+    481,212,207,214,222,225,464,470,
+    977,981,1010,2030,2043,1001,461,456,
+    459,465,471,479,975,992,1007,2022,
+    2040,4090,1003,477,467,473,475,978,
+    972,988,1002,2029,2035,2041,4089,2034,
+    974,484,971,984,982,994,997,2024,
+    2036,2037,2039,4091,2042,1004,991,993,
+    996,998,1008,2025,2031,4088,4094,4092,
+    4095,
+};
+static const uint8_t aac_b11_len[289] = {
+    4,5,6,7,8,8,9,10,10,10,11,11,12,11,
+    12,12,10,5,4,5,6,7,7,8,8,9,9,9,
+    10,10,10,10,11,8,6,5,5,6,7,7,8,8,
+    8,9,9,9,10,10,10,10,8,7,6,6,6,7,
+    7,8,8,8,9,9,9,10,10,10,10,8,8,7,
+    7,7,7,8,8,8,8,9,9,9,10,10,10,10,
+    8,8,7,7,7,7,8,8,8,9,9,9,9,10,
+    10,10,10,8,9,8,8,8,8,8,8,8,9,9,
+    9,10,10,10,10,10,8,9,8,8,8,8,8,8,
+    9,9,9,10,10,10,10,10,10,8,10,9,8,8,
+    9,9,9,9,9,10,10,10,10,10,10,11,8,10,
+    9,9,9,9,9,9,9,10,10,10,10,10,10,11,
+    11,8,11,9,9,9,9,9,9,10,10,10,10,10,
+    11,10,11,11,8,11,10,9,9,10,9,10,10,10,
+    10,10,11,11,11,11,11,8,11,10,10,10,10,10,
+    10,10,10,10,10,11,11,11,11,11,9,11,10,9,
+    9,10,10,10,10,10,10,11,11,11,11,11,11,9,
+    11,10,10,10,10,10,10,10,10,10,11,11,11,11,
+    11,11,9,12,10,10,10,10,10,10,10,11,11,11,
+    11,11,11,12,12,9,9,8,8,8,8,8,8,8,
+    8,8,8,8,8,8,8,9,5,
+};
+static const uint32_t aac_b11_code[289] = {
+    0,6,25,61,156,198,423,912,
+    962,991,2022,2035,4091,2028,4090,4094,
+    910,5,1,8,20,55,66,146,
+    175,401,421,437,926,960,930,973,
+    2006,174,23,7,9,24,57,64,
+    142,163,184,409,428,449,945,918,
+    958,970,157,60,21,22,26,59,
+    68,145,165,190,406,430,441,929,
+    913,933,981,148,154,54,56,58,
+    65,140,155,176,195,414,427,444,
+    927,911,937,975,147,191,62,63,
+    67,69,158,167,185,404,418,442,
+    451,934,935,955,980,159,416,143,
+    141,144,152,166,182,196,415,431,
+    447,921,959,948,969,999,168,438,
+    171,164,170,178,194,197,408,420,
+    440,908,932,964,966,989,1000,173,
+    943,402,189,188,398,407,410,419,
+    433,909,920,951,979,977,987,2013,
+    180,990,425,411,412,417,426,429,
+    435,907,946,952,974,993,992,2002,
+    2021,183,2019,443,424,422,432,434,
+    439,923,922,954,949,982,2007,996,
+    2008,2026,186,2024,928,445,436,906,
+    452,914,938,944,956,983,2004,2012,
+    2011,2005,2032,193,2043,968,931,917,
+    925,940,942,965,984,994,998,2020,
+    2023,2016,2025,2039,400,2034,915,446,
+    448,916,919,941,963,961,978,2010,
+    2009,2015,2027,2036,2042,405,2040,957,
+    924,939,936,947,953,976,995,997,
+    2018,2014,2029,2033,2041,2044,403,4093,
+    988,950,967,972,971,985,986,2003,
+    2017,2030,2031,2037,2038,4092,4095,413,
+    450,181,161,150,151,149,153,160,
+    162,172,169,177,179,187,192,399,
+    4,
+};
+static const uint16_t aac_swbl_0[42] = {0,4,8,12,16,20,24,28,32,36,40,44,48,52,56,64,72,80,88,96,108,120,132,144,156,172,188,212,240,276,320,384,448,512,576,640,704,768,832,896,960,1024};
+static const uint16_t aac_swbs_0[13] = {0,4,8,12,16,20,24,32,40,48,64,92,128};
+static const uint16_t aac_swbl_1[42] = {0,4,8,12,16,20,24,28,32,36,40,44,48,52,56,64,72,80,88,96,108,120,132,144,156,172,188,212,240,276,320,384,448,512,576,640,704,768,832,896,960,1024};
+static const uint16_t aac_swbs_1[13] = {0,4,8,12,16,20,24,32,40,48,64,92,128};
+static const uint16_t aac_swbl_2[48] = {0,4,8,12,16,20,24,28,32,36,40,44,48,52,56,64,72,80,88,100,112,124,140,156,172,192,216,240,268,304,344,384,424,464,504,544,584,624,664,704,744,784,824,864,904,944,984,1024};
+static const uint16_t aac_swbs_2[13] = {0,4,8,12,16,20,24,32,40,48,64,92,128};
+static const uint16_t aac_swbl_3[50] = {0,4,8,12,16,20,24,28,32,36,40,48,56,64,72,80,88,96,108,120,132,144,160,176,196,216,240,264,292,320,352,384,416,448,480,512,544,576,608,640,672,704,736,768,800,832,864,896,928,1024};
+static const uint16_t aac_swbs_3[15] = {0,4,8,12,16,20,28,36,44,56,68,80,96,112,128};
+static const uint16_t aac_swbl_4[50] = {0,4,8,12,16,20,24,28,32,36,40,48,56,64,72,80,88,96,108,120,132,144,160,176,196,216,240,264,292,320,352,384,416,448,480,512,544,576,608,640,672,704,736,768,800,832,864,896,928,1024};
+static const uint16_t aac_swbs_4[15] = {0,4,8,12,16,20,28,36,44,56,68,80,96,112,128};
+static const uint16_t aac_swbl_5[52] = {0,4,8,12,16,20,24,28,32,36,40,48,56,64,72,80,88,96,108,120,132,144,160,176,196,216,240,264,292,320,352,384,416,448,480,512,544,576,608,640,672,704,736,768,800,832,864,896,928,960,992,1024};
+static const uint16_t aac_swbs_5[15] = {0,4,8,12,16,20,28,36,44,56,68,80,96,112,128};
+static const uint16_t aac_swbl_6[48] = {0,4,8,12,16,20,24,28,32,36,40,44,52,60,68,76,84,92,100,108,116,124,136,148,160,172,188,204,220,240,260,284,308,336,364,396,432,468,508,552,600,652,704,768,832,896,960,1024};
+static const uint16_t aac_swbs_6[16] = {0,4,8,12,16,20,24,28,36,44,52,64,76,92,108,128};
+static const uint16_t aac_swbl_7[48] = {0,4,8,12,16,20,24,28,32,36,40,44,52,60,68,76,84,92,100,108,116,124,136,148,160,172,188,204,220,240,260,284,308,336,364,396,432,468,508,552,600,652,704,768,832,896,960,1024};
+static const uint16_t aac_swbs_7[16] = {0,4,8,12,16,20,24,28,36,44,52,64,76,92,108,128};
+static const uint16_t aac_swbl_8[44] = {0,8,16,24,32,40,48,56,64,72,80,88,100,112,124,136,148,160,172,184,196,212,228,244,260,280,300,320,344,368,396,424,456,492,532,572,616,664,716,772,832,896,960,1024};
+static const uint16_t aac_swbs_8[16] = {0,4,8,12,16,20,24,28,32,40,48,60,72,88,108,128};
+static const uint16_t aac_swbl_9[44] = {0,8,16,24,32,40,48,56,64,72,80,88,100,112,124,136,148,160,172,184,196,212,228,244,260,280,300,320,344,368,396,424,456,492,532,572,616,664,716,772,832,896,960,1024};
+static const uint16_t aac_swbs_9[16] = {0,4,8,12,16,20,24,28,32,40,48,60,72,88,108,128};
+static const uint16_t aac_swbl_10[44] = {0,8,16,24,32,40,48,56,64,72,80,88,100,112,124,136,148,160,172,184,196,212,228,244,260,280,300,320,344,368,396,424,456,492,532,572,616,664,716,772,832,896,960,1024};
+static const uint16_t aac_swbs_10[16] = {0,4,8,12,16,20,24,28,32,40,48,60,72,88,108,128};
+static const uint16_t aac_swbl_11[41] = {0,12,24,36,48,60,72,84,96,108,120,132,144,156,172,188,204,220,236,252,268,288,308,328,348,372,396,420,448,476,508,544,580,620,664,712,764,820,880,944,1024};
+static const uint16_t aac_swbs_11[16] = {0,4,8,12,16,20,24,28,36,44,52,60,72,88,108,128};
+
+static void aac_tables_bind(void) {
+    HCB[0].len = aac_sf_len; HCB[0].code = aac_sf_code;
+    HCB[1].len = aac_b1_len; HCB[1].code = aac_b1_code;
+    HCB[2].len = aac_b2_len; HCB[2].code = aac_b2_code;
+    HCB[3].len = aac_b3_len; HCB[3].code = aac_b3_code;
+    HCB[4].len = aac_b4_len; HCB[4].code = aac_b4_code;
+    HCB[5].len = aac_b5_len; HCB[5].code = aac_b5_code;
+    HCB[6].len = aac_b6_len; HCB[6].code = aac_b6_code;
+    HCB[7].len = aac_b7_len; HCB[7].code = aac_b7_code;
+    HCB[8].len = aac_b8_len; HCB[8].code = aac_b8_code;
+    HCB[9].len = aac_b9_len; HCB[9].code = aac_b9_code;
+    HCB[10].len = aac_b10_len; HCB[10].code = aac_b10_code;
+    HCB[11].len = aac_b11_len; HCB[11].code = aac_b11_code;
+    memcpy(SWB[0].off_long, aac_swbl_0, sizeof(aac_swbl_0));
+    SWB[0].num_long = 41;
+    memcpy(SWB[0].off_short, aac_swbs_0, sizeof(aac_swbs_0));
+    SWB[0].num_short = 12;
+    SWB[0].valid = 1;
+    memcpy(SWB[1].off_long, aac_swbl_1, sizeof(aac_swbl_1));
+    SWB[1].num_long = 41;
+    memcpy(SWB[1].off_short, aac_swbs_1, sizeof(aac_swbs_1));
+    SWB[1].num_short = 12;
+    SWB[1].valid = 1;
+    memcpy(SWB[2].off_long, aac_swbl_2, sizeof(aac_swbl_2));
+    SWB[2].num_long = 47;
+    memcpy(SWB[2].off_short, aac_swbs_2, sizeof(aac_swbs_2));
+    SWB[2].num_short = 12;
+    SWB[2].valid = 1;
+    memcpy(SWB[3].off_long, aac_swbl_3, sizeof(aac_swbl_3));
+    SWB[3].num_long = 49;
+    memcpy(SWB[3].off_short, aac_swbs_3, sizeof(aac_swbs_3));
+    SWB[3].num_short = 14;
+    SWB[3].valid = 1;
+    memcpy(SWB[4].off_long, aac_swbl_4, sizeof(aac_swbl_4));
+    SWB[4].num_long = 49;
+    memcpy(SWB[4].off_short, aac_swbs_4, sizeof(aac_swbs_4));
+    SWB[4].num_short = 14;
+    SWB[4].valid = 1;
+    memcpy(SWB[5].off_long, aac_swbl_5, sizeof(aac_swbl_5));
+    SWB[5].num_long = 51;
+    memcpy(SWB[5].off_short, aac_swbs_5, sizeof(aac_swbs_5));
+    SWB[5].num_short = 14;
+    SWB[5].valid = 1;
+    memcpy(SWB[6].off_long, aac_swbl_6, sizeof(aac_swbl_6));
+    SWB[6].num_long = 47;
+    memcpy(SWB[6].off_short, aac_swbs_6, sizeof(aac_swbs_6));
+    SWB[6].num_short = 15;
+    SWB[6].valid = 1;
+    memcpy(SWB[7].off_long, aac_swbl_7, sizeof(aac_swbl_7));
+    SWB[7].num_long = 47;
+    memcpy(SWB[7].off_short, aac_swbs_7, sizeof(aac_swbs_7));
+    SWB[7].num_short = 15;
+    SWB[7].valid = 1;
+    memcpy(SWB[8].off_long, aac_swbl_8, sizeof(aac_swbl_8));
+    SWB[8].num_long = 43;
+    memcpy(SWB[8].off_short, aac_swbs_8, sizeof(aac_swbs_8));
+    SWB[8].num_short = 15;
+    SWB[8].valid = 1;
+    memcpy(SWB[9].off_long, aac_swbl_9, sizeof(aac_swbl_9));
+    SWB[9].num_long = 43;
+    memcpy(SWB[9].off_short, aac_swbs_9, sizeof(aac_swbs_9));
+    SWB[9].num_short = 15;
+    SWB[9].valid = 1;
+    memcpy(SWB[10].off_long, aac_swbl_10, sizeof(aac_swbl_10));
+    SWB[10].num_long = 43;
+    memcpy(SWB[10].off_short, aac_swbs_10, sizeof(aac_swbs_10));
+    SWB[10].num_short = 15;
+    SWB[10].valid = 1;
+    memcpy(SWB[11].off_long, aac_swbl_11, sizeof(aac_swbl_11));
+    SWB[11].num_long = 40;
+    memcpy(SWB[11].off_short, aac_swbs_11, sizeof(aac_swbs_11));
+    SWB[11].num_short = 15;
+    SWB[11].valid = 1;
+}
+/* END EXTRACTED TABLES */

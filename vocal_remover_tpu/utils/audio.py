@@ -7,8 +7,12 @@ library exists in this environment, so this module implements:
 
   * WAV decode (PCM 8/16/24/32, float32/float64) via scipy.io.wavfile
     plus a manual 24-bit path.
-  * Other container formats (.mp3/.m4a/.mp4/.flac) through an optional
-    `ffmpeg` subprocess — gated, with a clear error when unavailable.
+  * Native decoders for FLAC (native/flacdec.c), MP3 (native/mp3dec.c),
+    and AAC-LC in .m4a/.mp4/.aac containers (native/aacdec.c) — the
+    reference's full ingest extension list (lib/dataset.py:147) without
+    an external backend. An optional `ffmpeg` subprocess remains as the
+    fallback for anything else (e.g. HE-AAC), gated with a clear error
+    when unavailable.
   * Band-limited sinc resampling matching librosa's `kaiser_fast`
     algorithm (utils/resample.py — the reference's res_type,
     inference.py:138); scipy polyphase kept as `res_type='polyphase'`.
@@ -30,8 +34,8 @@ import numpy as np
 from scipy.io import wavfile
 from scipy.signal import resample_poly
 
-__all__ = ["load", "read_wav", "read_flac", "write_wav", "resample",
-           "have_ffmpeg"]
+__all__ = ["load", "read_wav", "read_flac", "read_mp3", "read_aac",
+           "write_wav", "resample", "have_ffmpeg"]
 
 _FFMPEG = shutil.which("ffmpeg")
 
@@ -164,6 +168,25 @@ def read_mp3(path: str) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(wave.T), int(sr)
 
 
+def read_aac(path: str) -> tuple[np.ndarray, int]:
+    """Read an AAC file (.m4a/.mp4 container or raw .aac ADTS) via the
+    native decoder (native/aacdec.c) -> ((C, L) float32, sample_rate).
+    AAC-LC only (the overwhelmingly common profile); HE-AAC and other
+    object types raise and fall back to ffmpeg when present."""
+    from vocal_remover_tpu import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    out = native.aac_decode(data)
+    if out is None:
+        raise RuntimeError(
+            "AAC decoding requires the native extension (no C compiler "
+            "available) — or install ffmpeg"
+        )
+    wave, sr = out
+    return np.ascontiguousarray(wave.T), int(sr)
+
+
 def _load_via_ffmpeg(path: str, sr: int | None) -> tuple[np.ndarray, int]:
     if _FFMPEG is None:
         raise RuntimeError(
@@ -206,6 +229,13 @@ def load(
         try:
             wave, file_sr = read_mp3(path)
         except (RuntimeError, ValueError):
+            wave, file_sr = _load_via_ffmpeg(path, None)
+    elif ext in (".m4a", ".mp4", ".aac"):
+        try:
+            wave, file_sr = read_aac(path)
+        except (RuntimeError, ValueError):
+            # non-LC object types (e.g. HE-AAC) or a missing compiler:
+            # degrade gracefully through ffmpeg when present
             wave, file_sr = _load_via_ffmpeg(path, None)
     else:
         wave, file_sr = _load_via_ffmpeg(path, None)
