@@ -12,7 +12,9 @@ from __future__ import annotations
 import os
 import random
 
-INPUT_EXTS = [".wav", ".m4a", ".mp3", ".mp4", ".flac"]
+INPUT_EXTS = [".wav", ".m4a", ".mp3", ".mp4", ".flac",
+              ".aac"]  # .aac: superset of the reference list (all
+                       # five reference extensions decode natively)
 
 
 def make_pair(mix_dir: str, inst_dir: str):
