@@ -281,6 +281,55 @@ def test_probe_escape_values(ext, orc):
     assert _probe_snr(ext, orc, [f]) > 90.0
 
 
+def test_probe_tns_caps_all_rates(ext, orc):
+    """the TNS band-cap table (tns_max_bands) at EVERY sampling rate:
+    a long filter over all coded bands diverges from the oracle if the
+    cap is off by even one band"""
+    from aac_bitstream import SF_INDEX
+
+    one = _book_cw(ext, 1, (1, -1, 1, -1))
+    sf0 = _sf_delta0(ext)
+    w = BitWriter()
+    w.put(1, 2)
+    w.put(0, 1)
+    w.put(63, 6)
+    w.put(2, 5)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(1, 3)
+    w.put(2, 3)
+    tb = "".join(w.bits)
+    for sr in (96000, 64000, 48000, 32000, 22050, 12000, 8000):
+        offs = np.frombuffer(ext.aac_swb_get(SF_INDEX[sr], 1),
+                             np.uint16)
+        max_sfb = len(offs) - 1
+        quads = (int(offs[max_sfb]) - int(offs[0])) // 4
+        f = SCE(global_gain=128, max_sfb=max_sfb,
+                sections=[(1, max_sfb)], sf_bits=sf0 * max_sfb,
+                spectral_bits=one * quads, tns_bits=tb)
+        assert _probe_snr(ext, orc, [f], sr=sr) > 90.0, sr
+
+
+def test_mpeg2_adts_header(ext, orc):
+    """MPEG-2 AAC-LC (ADTS ID bit = 1) shares the LC syntax and must
+    decode identically to the MPEG-4-framed stream"""
+    data = bytearray(orc.encode_aac(_tone(44100), 44100,
+                                    container="adts", opts="aac_pns=0"))
+    ref, _ = orc.decode_bytes(bytes(data), suffix=".aac")
+    # flip the ID bit (bit 12 of every ADTS header) in place
+    pos = 0
+    while pos + 7 <= len(data):
+        if data[pos] == 0xFF and (data[pos + 1] & 0xF6) == 0xF0:
+            flen = ((data[pos + 3] & 0x03) << 11) | \
+                (data[pos + 4] << 3) | (data[pos + 5] >> 5)
+            data[pos + 1] |= 0x08
+            pos += flen
+        else:
+            pos += 1
+    mine, _ = _decode_native(ext, bytes(data))
+    assert _snr(ref, mine) > 90.0
+
+
 # --------------------------------------------------------------------
 # 3. sampled table regression against the baked tables
 

@@ -1496,6 +1496,23 @@ PyObject *vrt_aac_swb_set(PyObject *self, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+PyObject *vrt_aac_swb_get(PyObject *self, PyObject *args) {
+    (void)self;
+    int sr_index, is_long;
+    if (!PyArg_ParseTuple(args, "ii", &sr_index, &is_long)) return NULL;
+    aac_tables_init();
+    windows_init();
+    if (sr_index < 0 || sr_index > 12 || !SWB[sr_index].valid) {
+        PyErr_SetString(PyExc_ValueError, "swb table not loaded");
+        return NULL;
+    }
+    SwbTab *s = &SWB[sr_index];
+    int n = (is_long ? s->num_long : s->num_short) + 1;
+    return PyBytes_FromStringAndSize(
+        (const char *)(is_long ? s->off_long : s->off_short),
+        (Py_ssize_t)n * 2);
+}
+
 PyObject *vrt_aac_set_out_scale(PyObject *self, PyObject *args) {
     (void)self;
     double v;

@@ -236,6 +236,7 @@ extern PyObject *vrt_aac_decode(PyObject *self, PyObject *args);
 extern PyObject *vrt_aac_huff_get(PyObject *self, PyObject *args);
 extern PyObject *vrt_aac_huff_set(PyObject *self, PyObject *args);
 extern PyObject *vrt_aac_swb_set(PyObject *self, PyObject *args);
+extern PyObject *vrt_aac_swb_get(PyObject *self, PyObject *args);
 extern PyObject *vrt_aac_set_out_scale(PyObject *self, PyObject *args);
 extern PyObject *vrt_aac_tns_max_set(PyObject *self, PyObject *args);
 
@@ -281,6 +282,8 @@ static PyMethodDef Methods[] = {
      "dev: replace an AAC huffman book (extraction harness hook)"},
     {"aac_swb_set", vrt_aac_swb_set, METH_VARARGS,
      "dev: set a scalefactor-band offset table (u16le offsets)"},
+    {"aac_swb_get", vrt_aac_swb_get, METH_VARARGS,
+     "dev: read a scalefactor-band offset table (u16le offsets)"},
     {"aac_set_out_scale", vrt_aac_set_out_scale, METH_VARARGS,
      "dev: set the output calibration scale"},
     {"aac_tns_max_set", vrt_aac_tns_max_set, METH_VARARGS,
