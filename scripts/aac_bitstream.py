@@ -78,8 +78,9 @@ class SCE:
     def write(self, w: BitWriter):
         w.put(0, 3)                     # id_syn_ele = SCE
         w.put(0, 4)                     # element_instance_tag
-        w.put(self.global_gain, 8)
-        # ics_info
+        self.write_ics(w, include_info=True)
+
+    def write_info(self, w: BitWriter):
         w.put(0, 1)                     # ics_reserved_bit
         w.put(self.window_sequence, 2)
         w.put(self.window_shape, 1)
@@ -89,6 +90,11 @@ class SCE:
         else:
             w.put(self.max_sfb, 6)
             w.put(0, 1)                 # predictor_data_present
+
+    def write_ics(self, w: BitWriter, include_info: bool):
+        w.put(self.global_gain, 8)
+        if include_info:
+            self.write_info(w)
         # section_data
         sect_bits = 3 if self.window_sequence == EIGHT_SHORT else 5
         esc = (1 << sect_bits) - 1
@@ -131,6 +137,31 @@ class SCE:
         return 8 - bin(self.scale_factor_grouping).count("1")
 
 
+@dataclass
+class CPE:
+    """A channel_pair_element with a common window: the left SCE's
+    ics_info is shared; ms_used covers num_groups * max_sfb bands when
+    ms_present == 1."""
+    left: SCE = None
+    right: SCE = None
+    ms_present: int = 0
+    ms_used: list = field(default_factory=list)
+
+    def write(self, w: BitWriter):
+        w.put(1, 3)                     # id_syn_ele = CPE
+        w.put(0, 4)                     # element_instance_tag
+        w.put(1, 1)                     # common_window
+        self.left.write_info(w)
+        w.put(self.ms_present, 2)
+        if self.ms_present == 1:
+            n = self.left._num_groups() * self.left.max_sfb
+            assert len(self.ms_used) == n
+            for b in self.ms_used:
+                w.put(b, 1)
+        self.left.write_ics(w, include_info=False)
+        self.right.write_ics(w, include_info=False)
+
+
 def adts_frame(elements: list[SCE], sr: int = 44100,
                channel_config: int = 1) -> bytes:
     """One ADTS frame (MPEG-4 style header, CRC absent) holding the
@@ -160,17 +191,22 @@ def adts_frame(elements: list[SCE], sr: int = 44100,
     return h.tobytes() + payload
 
 
-def probe_stream(frames: list[SCE], sr: int = 44100,
+def probe_stream(frames: list, sr: int = 44100,
                  spacer: bool = True) -> bytes:
-    """Concatenate probe frames, each followed by an all-zero spacer
-    frame so every probe's full 2048-sample filterbank response is
-    isolated (the OLA tail lands in the spacer's output frame)."""
+    """Concatenate probe frames (SCE or CPE), each followed by an
+    all-zero spacer frame so every probe's full 2048-sample filterbank
+    response is isolated (the OLA tail lands in the spacer's output
+    frame)."""
     out = []
     zero = SCE(sections=[(ZERO_HCB, 1)], max_sfb=1)
+    zero_cpe = CPE(left=SCE(sections=[(ZERO_HCB, 1)], max_sfb=1),
+                   right=SCE(sections=[(ZERO_HCB, 1)], max_sfb=1))
     for f in frames:
-        out.append(adts_frame([f], sr=sr))
+        cc = 2 if isinstance(f, CPE) else 1
+        out.append(adts_frame([f], sr=sr, channel_config=cc))
         if spacer:
-            out.append(adts_frame([zero], sr=sr))
+            out.append(adts_frame([zero_cpe if cc == 2 else zero],
+                                  sr=sr, channel_config=cc))
     return b"".join(out)
 
 

@@ -310,6 +310,33 @@ def test_probe_tns_caps_all_rates(ext, orc):
         assert _probe_snr(ext, orc, [f], sr=sr) > 90.0, sr
 
 
+def test_probe_cpe_intensity_ms_flip(ext, orc):
+    """crafted CPE: right-channel intensity bands (books 14/15) with
+    and without ms_used — the in/out-of-phase sign and the 2^(-pos/4)
+    position scaling must match the oracle bit for bit"""
+    from aac_bitstream import CPE
+
+    one = _book_cw(ext, 1, (1, -1, 1, 0))
+    sf0 = _sf_delta0(ext)
+    dims, lav, lens_b, codes_b = ext.aac_huff_get(0)
+    lens = list(lens_b)
+    codes = np.frombuffer(codes_b, np.uint32)
+
+    def sfcw(delta):
+        return format(codes[delta + 60], f"0{lens[delta + 60]}b")
+
+    for is_book in (14, 15):
+        for ms_used in ([0, 0], [1, 1], [0, 1]):
+            left = SCE(global_gain=120, max_sfb=2, sections=[(1, 2)],
+                       sf_bits=sf0 + sfcw(4), spectral_bits=one * 2)
+            right = SCE(global_gain=0, max_sfb=2,
+                        sections=[(is_book, 2)],
+                        sf_bits=sfcw(2) + sfcw(-3), spectral_bits="")
+            f = CPE(left=left, right=right, ms_present=1,
+                    ms_used=ms_used)
+            assert _probe_snr(ext, orc, [f]) > 90.0, (is_book, ms_used)
+
+
 def test_mpeg2_adts_header(ext, orc):
     """MPEG-2 AAC-LC (ADTS ID bit = 1) shares the LC syntax and must
     decode identically to the MPEG-4-framed stream"""
