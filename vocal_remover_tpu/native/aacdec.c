@@ -199,9 +199,6 @@ static uint8_t TNS_MAX_BANDS_SHORT[13] = {9, 9, 10, 14, 14, 14, 14, 14,
 
 typedef struct {
     float coef[1024];        /* dequantized spectrum (deinterleaved) */
-    float overlap[1024];
-    int prev_shape;          /* window_shape of previous frame */
-    int prev_seq;
     int band_cb[8][64];      /* per group */
     int sf[8][64];           /* scalefactor / noise energy / is position */
     int window_sequence;
@@ -215,7 +212,6 @@ typedef struct {
     /* tns */
     int tns_present;
     int tns_n_filt[8];
-    int tns_coef_res[8];
     int tns_len[8][4], tns_order[8][4], tns_dir[8][4];
     float tns_coef[8][4][20];
 } ICS;
@@ -520,7 +516,6 @@ static int decode_tns(Bits *b, ICS *ics) {
         ics->tns_n_filt[w] = (int)bits_get(b, is_short ? 1 : 2);
         if (!ics->tns_n_filt[w]) continue;
         int coef_res = bits_get1(b);
-        ics->tns_coef_res[w] = coef_res;
         for (int f = 0; f < ics->tns_n_filt[w]; f++) {
             ics->tns_len[w][f] = (int)bits_get(b, len_bits);
             int order = (int)bits_get(b, ord_bits);
