@@ -146,7 +146,6 @@ def test_pns_band_energy(ext, orc):
     """PNS waveforms are decoder-specific by spec: compare stream
     ENERGY of pure-noise-band streams across gains (the energy ladder
     pins the 2^(sf/4) band-total convention)"""
-    import json
     for pcm9, gg in ((296, 100), (316, 100), (296, 108)):
         w = BitWriter()
         w.put(pcm9, 9)
@@ -160,7 +159,6 @@ def test_pns_band_energy(ext, orc):
         r = np.sqrt((ref ** 2).mean())
         m = np.sqrt((mine ** 2).mean())
         assert abs(m / r - 1.0) < 0.05, (pcm9, gg, m / r)
-    del json
 
 
 # --------------------------------------------------------------------
@@ -241,8 +239,6 @@ def test_probe_tns_variants(ext, orc):
         return "".join(w.bits)
 
     for max_sfb in (8, 45, 49):
-        import json
-        del json
         offs = _swb_long(ext, 44100)
         quads = (offs[max_sfb] - offs[0]) // 4
         spec = one * quads
@@ -428,6 +424,105 @@ def test_reject_garbage(ext):
     for bad in (b"", bytes(range(256)) * 40, b"\x00" * 64):
         with pytest.raises(ValueError):
             ext.aac_decode(bad)
+
+
+def test_adversarial_inputs_no_crash(ext, orc):
+    """memory-safety regressions: crafted streams that previously
+    drove out-of-bounds reads must fail (or skip) cleanly"""
+    # 1. CRC-protected ADTS frame shorter than its 9-byte header:
+    #    header-minus-CRC length used to underflow the payload size
+    h = BitWriter()
+    h.put(0xFFF, 12)
+    h.put(0, 1)
+    h.put(0, 2)
+    h.put(0, 1)          # protection_absent=0 -> CRC present
+    h.put(1, 2)
+    h.put(4, 4)
+    h.put(0, 1)
+    h.put(1, 3)
+    h.put(0, 4)
+    h.put(8, 13)         # frame_len 8 < 9-byte header
+    h.put(0x7FF, 11)
+    h.put(0, 2)
+    with pytest.raises(ValueError):
+        ext.aac_decode(h.tobytes() + b"\x00" * 8)
+    # 2. crafted co64 offset near 2^64 must not wrap the bounds check
+    def box(typ, payload):
+        import struct
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+    import struct
+    asc = bytes([0x12, 0x10])  # LC, 44.1k, 1ch
+    esds = box(b"esds", b"\x00\x00\x00\x00" +
+               b"\x03\x19\x00\x00\x00" +
+               b"\x04\x11\x40\x15\x00\x00\x00\x00\x00\x00\x00"
+               b"\x00\x00\x00\x00" + b"\x05\x02" + asc)
+    mp4a = box(b"mp4a", b"\x00" * 28 + esds)
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + mp4a)
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 1) +
+               struct.pack(">I", 256))
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1) +
+               struct.pack(">III", 1, 1, 1))
+    co64 = box(b"co64", b"\x00" * 4 + struct.pack(">I", 1) +
+               struct.pack(">Q", 0xFFFFFFFFFFFFFF00))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    stbl = box(b"stbl", stsd + stsz + stsc + co64)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="outside file"):
+        ext.aac_decode(ftyp + moov)
+    # 3. moov-in-moov nesting bomb must not blow the C stack
+    depth = 100_000
+    bomb = b"".join(struct.pack(">I", 8 * (depth - i)) + b"moov"
+                    for i in range(depth))
+    with pytest.raises(ValueError):
+        ext.aac_decode(ftyp + bomb)
+
+
+def test_junk_tail_keeps_sample_rate(ext, orc):
+    """trailing garbage that happens to parse as an ADTS header at a
+    different rate must not corrupt the reported sample rate"""
+    data = orc.encode_aac(_tone(44100), 44100, container="adts",
+                          opts="aac_pns=0")
+    junk = b"\xff\xf1\x6c\x40\x01\x00\x00" + b"\x55" * 64
+    mine, sr = _decode_native(ext, data + junk)
+    assert sr == 44100
+    # and a false non-LC sync mid-stream must resync, not abort
+    main_hdr = b"\xff\xf9\x00\x00\x00\x02\x00"  # profile=Main bits
+    mine2, sr2 = _decode_native(ext, main_hdr + data)
+    assert sr2 == 44100 and len(mine2) == len(mine)
+
+
+def test_sbr_stream_rejected(ext):
+    """an SBR extension in a FIL element marks HE-AAC: the native
+    decoder must error (so audio.load falls back to ffmpeg) instead of
+    returning lowpassed LC-core audio"""
+    one_band = SCE(global_gain=100, max_sfb=1, sections=[(0, 1)])
+    w = BitWriter()
+    one_band.write(w)
+    w.put(6, 3)          # FIL
+    w.put(2, 4)          # count 2 bytes
+    w.put(0x0D, 4)       # extension_type = SBR_DATA
+    w.put(0, 12)
+    payload = w.tobytes()
+    h = BitWriter()
+    h.put(0xFFF, 12)
+    h.put(0, 1)
+    h.put(0, 2)
+    h.put(1, 1)
+    h.put(1, 2)
+    h.put(4, 4)
+    h.put(0, 1)
+    h.put(1, 3)
+    h.put(0, 4)
+    h.put(7 + len(payload) + 3, 13)
+    h.put(0x7FF, 11)
+    h.put(0, 2)
+    frame = h.tobytes() + payload + b"\x00" * 3
+    with pytest.raises(ValueError, match="ffmpeg"):
+        ext.aac_decode(frame)
 
 
 def test_reject_non_lc(ext):

@@ -549,8 +549,6 @@ static int decode_spectral(Bits *b, ICS *ics, const SwbTab *swb) {
 
     /* grouped coefficient order: g, sfb, window-in-group, bins */
     int gpos = 0;   /* start window of group */
-    int qpos[8];    /* write cursor per... use explicit indexing */
-    (void)qpos;
     int base = 0;   /* quant[] cursor in grouped order */
     for (int g = 0; g < ics->num_groups; g++) {
         for (int k = 0; k < ics->max_sfb; k++) {
@@ -928,7 +926,16 @@ static int decode_raw_block(Decoder *dec, Bits *b, float *out /*1024*MAX_CH*/,
         } else if (id == 6) {             /* FIL */
             int cnt = (int)bits_get(b, 4);
             if (cnt == 15) cnt += (int)bits_get(b, 8) - 1;
-            for (int i = 0; i < cnt; i++) bits_get(b, 8);
+            if (cnt > 0) {
+                /* extension_payload type: 0x0D/0x0E = SBR — this is
+                 * an HE-AAC stream whose high band we cannot
+                 * reconstruct; error (the Python layer falls back to
+                 * ffmpeg) instead of returning lowpassed LC core */
+                int ext = (int)bits_get(b, 4);
+                if (ext == 0x0D || ext == 0x0E) return -3;
+                for (int i = 0; i < cnt - 1; i++) bits_get(b, 8);
+                bits_get(b, 4);
+            }
         } else {
             return -1;                    /* CCE / PCE unsupported */
         }
@@ -1001,19 +1008,24 @@ static PyObject *decode_adts(const uint8_t *data, Py_ssize_t len) {
         }
         Bits hb;
         bits_init(&hb, data + pos, (size_t)len - pos);
+        AacConfig hcfg = {0};
         int frame_len = 0, crc = 0, nblocks = 1;
-        int rc = adts_parse_header(&hb, &cfg, &frame_len, &crc,
+        int rc = adts_parse_header(&hb, &hcfg, &frame_len, &crc,
                                    &nblocks);
         if (rc == -2) {
+            /* a false sync can land here too: resync like every other
+             * bad header, and only report non-LC if nothing decodes */
             snprintf(err, 128, "not an AAC-LC stream");
-            goto fail;
+            pos++;
+            continue;
         }
-        if (rc != 0 || frame_len < 7 ||
+        size_t hdr_bytes = (size_t)(crc ? 9 : 7);
+        if (rc != 0 || hb.error || (size_t)frame_len < hdr_bytes + 1 ||
             pos + (size_t)frame_len > (size_t)len) {
             pos++;
             continue;
         }
-        if (ensure_tables(cfg.sr_index, err)) goto fail;
+        if (ensure_tables(hcfg.sr_index, err)) goto fail;
         if (crc) bits_get(&hb, 16);
         if (nblocks > 1 && crc) {
             /* CRC-protected multi-block frames interleave check words
@@ -1021,15 +1033,23 @@ static PyObject *decode_adts(const uint8_t *data, Py_ssize_t len) {
             snprintf(err, 128, "multi-block ADTS frame with CRC");
             goto fail;
         }
-        dec.sr_index = cfg.sr_index;
+        dec.sr_index = hcfg.sr_index;
         Bits rb;
-        bits_init(&rb, data + pos + (hb.pos / 8),
-                  (size_t)frame_len - hb.pos / 8);
+        bits_init(&rb, data + pos + hdr_bytes,
+                  (size_t)frame_len - hdr_bytes);
         for (int blk = 0; blk < nblocks; blk++) {
             float out[1024 * MAX_CH];
             int ch = 0;
-            if (decode_raw_block(&dec, &rb, out, &ch) != 0 || ch <= 0)
-                break;
+            int brc = decode_raw_block(&dec, &rb, out, &ch);
+            if (brc == -3) {
+                snprintf(err, 128,
+                         "HE-AAC (SBR) stream: only the LC core is "
+                         "supported natively — decode via ffmpeg");
+                goto fail;
+            }
+            if (brc != 0 || ch <= 0) break;
+            /* accepted: commit this frame's config */
+            cfg = hcfg;
             if (!out_channels) out_channels = ch;
             if (ch != out_channels) break;
             if ((n + 1024) > cap) {
@@ -1147,6 +1167,7 @@ static void parse_stbl(const uint8_t *p, size_t len, Mp4Track *tr);
 
 static void walk_boxes(const uint8_t *p, size_t len, Mp4Track *tr,
                        int depth) {
+    if (depth > 16) return;   /* crafted moov-in-moov nesting bomb */
     size_t pos = 0;
     while (pos + 8 <= len) {
         uint64_t sz = rd32(p + pos);
@@ -1351,7 +1372,9 @@ static PyObject *decode_mp4(const uint8_t *data, Py_ssize_t len) {
              s++, sample++) {
             uint32_t ssz = tr.fixed_size ? tr.fixed_size
                                          : rd32(tr.stsz + sample * 4);
-            if (off + ssz > (uint64_t)len) {
+            /* overflow-safe bounds: a crafted co64 offset near 2^64
+             * must not wrap past the check */
+            if (off > (uint64_t)len || ssz > (uint64_t)len - off) {
                 snprintf(err, 128, "sample outside file");
                 goto fail;
             }
@@ -1359,7 +1382,14 @@ static PyObject *decode_mp4(const uint8_t *data, Py_ssize_t len) {
             bits_init(&b, data + off, ssz);
             float out[1024 * MAX_CH];
             int ch = 0;
-            if (decode_raw_block(&dec, &b, out, &ch) == 0 && ch > 0) {
+            int brc = decode_raw_block(&dec, &b, out, &ch);
+            if (brc == -3) {
+                snprintf(err, 128,
+                         "HE-AAC (SBR) stream: only the LC core is "
+                         "supported natively — decode via ffmpeg");
+                goto fail;
+            }
+            if (brc == 0 && ch > 0) {
                 if (!out_channels) out_channels = ch;
                 if (ch == out_channels) {
                     if (n + 1024 > cap) {
@@ -1493,6 +1523,22 @@ PyObject *vrt_aac_swb_set(PyObject *self, PyObject *args) {
     }
     SwbTab *s = &SWB[sr_index];
     int n = (int)(ov.len / 2);
+    /* the decoder indexes coef[off[k]..off[k+1]) and fills noise into
+     * a 512-wide scratch: reject non-monotonic/oversized tables here
+     * rather than corrupting memory later (dev hook, but symmetric
+     * with aac_huff_set's prefix-code validation) */
+    const uint16_t *offv = (const uint16_t *)ov.buf;
+    int limit = is_long ? 1024 : 128;
+    int ok = n >= 2 && offv[0] == 0 && offv[n - 1] == limit;
+    for (int i = 1; ok && i < n; i++)
+        ok = offv[i] > offv[i - 1] && offv[i] - offv[i - 1] <= 512;
+    if (!ok) {
+        PyBuffer_Release(&ov);
+        PyErr_SetString(PyExc_ValueError,
+                        "swb offsets must rise monotonically from 0 "
+                        "to 1024 (long) / 128 (short)");
+        return NULL;
+    }
     if (is_long) {
         memcpy(s->off_long, ov.buf, (size_t)n * 2);
         s->num_long = n - 1;
