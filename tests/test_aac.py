@@ -563,6 +563,35 @@ def test_audio_load_m4a(ext, orc, tmp_path):
     assert lag_err < 0.05
 
 
+def test_dataset_cache_from_m4a(ext, orc, tmp_path):
+    """the training data layer (pairing + spectrogram cache) ingests
+    an all-m4a dataset — the reference accepts these extensions via
+    ffmpeg (lib/dataset.py:147); here they decode natively. The full
+    train CLI was also driven end-to-end on an m4a corpus (losses
+    decrease; see ROADMAP round-3 notes)."""
+    from vocal_remover_tpu.data.pairing import make_pair
+    from vocal_remover_tpu.data.cache import make_training_set
+
+    sr = 8000
+    (tmp_path / "mixtures").mkdir()
+    (tmp_path / "instruments").mkdir()
+    t = np.arange(sr * 2) / sr
+    inst = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    voc = (0.3 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+    for d, w in (("mixtures", inst + voc), ("instruments", inst)):
+        data = orc.encode_aac(np.stack([w, w]), sr, container="m4a",
+                              bitrate=64000, opts="aac_pns=0")
+        (tmp_path / d / "song.m4a").write_bytes(data)
+    pairs = make_pair(str(tmp_path / "mixtures"),
+                      str(tmp_path / "instruments"))
+    assert len(pairs) == 1
+    ts = make_training_set(pairs, sr=sr, hop_length=128, n_fft=256)
+    x_path, y_path, coef = ts[0]
+    X = np.load(x_path)
+    assert X.dtype == np.complex64 and X.shape[1] == 2
+    assert coef > 0
+
+
 def test_audio_load_aac_resamples(ext, orc, tmp_path):
     sr = 22050
     w = _tone(sr, ch=1)
