@@ -101,6 +101,36 @@ def main(argv=None):
 
     enable_compile_cache(".jax_bench_cache")
 
+    # TPU watchdog: when the tunnel is unreachable, device enumeration
+    # blocks forever — emit an honest one-line JSON instead of hanging
+    # the driver (observed 2026-08-17: tunnel down for hours).
+    import threading
+
+    devs = {}
+
+    def _enum():
+        try:
+            devs["d"] = jax.devices()
+        except Exception as e:  # backend init failure
+            devs["err"] = repr(e)
+
+    th = threading.Thread(target=_enum, daemon=True)
+    th.start()
+    th.join(timeout=600)
+    if "d" not in devs:
+        print(json.dumps({
+            "metric": "separation_throughput_xrt",
+            "value": 0.0,
+            "unit": "audio_sec/sec/chip @44.1kHz",
+            "vs_baseline": 0.0,
+            "error": devs.get(
+                "err", "TPU backend unreachable (device enumeration "
+                "timed out after 600 s — tunnel down?)"),
+        }))
+        import os as _os
+
+        _os._exit(0)
+
     from vocal_remover_tpu.models import CascadedNet
     from vocal_remover_tpu.nn import config as nn_config
     from vocal_remover_tpu.separate.separator import Separator
