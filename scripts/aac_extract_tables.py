@@ -49,6 +49,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import aac_oracle  # noqa: E402
 from aac_bitstream import SCE, EIGHT_SHORT, probe_stream  # noqa: E402
@@ -583,7 +584,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="sf",
                     choices=["sf", "book1", "books", "sfvals", "swb",
-                             "swbshort", "bake"])
+                             "swbshort", "bake", "export"])
     ap.add_argument("--books", type=str, default="")
     ap.add_argument("--rates", type=str, default="")
     ap.add_argument("--out", type=str, default="/tmp/aac_tables.json")
@@ -628,6 +629,46 @@ def main(argv=None):
     elif args.stage == "bake":
         bake(state)
         return
+    elif args.stage == "export":
+        # reverse path: rebuild the rig's state JSON from the BAKED
+        # tables (for re-running later stages when /tmp state is gone)
+        from vocal_remover_tpu import native
+        mod = native.get()
+        sf = {}
+        _, _, lens_b, codes_b = mod.aac_huff_get(0)
+        lens = list(lens_b)
+        codes = np.frombuffer(codes_b, np.uint32)
+        for i in range(121):
+            sf[format(codes[i], f"0{lens[i]}b")] = i - 60
+        state["sf"] = sf
+        state["sf0"] = next(c for c, d in sf.items() if d == 0)
+        state["sf_codewords"] = list(sf)
+        for b, (dims, lav, signed) in BOOKS.items():
+            _, _, lens_b, codes_b = mod.aac_huff_get(b)
+            lens = list(lens_b)
+            codes = np.frombuffer(codes_b, np.uint32)
+            base = (2 * lav + 1) if signed else \
+                (lav + 1 if b != 11 else 17)
+            t = {}
+            for idx in range(len(lens)):
+                vals = []
+                ix = idx
+                for _ in range(dims):
+                    vals.append(ix % base)
+                    ix //= base
+                vals = vals[::-1]
+                if signed:
+                    vals = [v - lav for v in vals]
+                t[format(codes[idx], f"0{lens[idx]}b")] = vals
+            state[f"book{b}"] = t
+        state["swb_long"] = {}
+        state["swb_short"] = {}
+        for sr in RATES:
+            i = RATES.index(sr)
+            state["swb_long"][str(sr)] = np.frombuffer(
+                mod.aac_swb_get(i, 1), np.uint16).tolist()
+            state["swb_short"][str(sr)] = np.frombuffer(
+                mod.aac_swb_get(i, 0), np.uint16).tolist()
     elif args.stage == "swbshort":
         book1 = {c: tuple(v) for c, v in state["book1"].items()}
         sf0 = state["sf0"]
