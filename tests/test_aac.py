@@ -253,16 +253,10 @@ def test_probe_tns_variants(ext, orc):
 
 
 def _swb_long(ext, sr):
-    # recover the baked swb offsets by decoding band starts from the
-    # extraction JSON is not available at test time: read via the
-    # extraction rig's RATES + a probe is overkill — instead keep a
-    # copy of the 44.1k table here (pinned by the sampled regression).
-    assert sr == 44100
-    return [0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 48, 56, 64, 72,
-            80, 88, 96, 108, 120, 132, 144, 160, 176, 196, 216, 240,
-            264, 292, 320, 352, 384, 416, 448, 480, 512, 544, 576,
-            608, 640, 672, 704, 736, 768, 800, 832, 864, 896, 928,
-            1024]
+    from aac_bitstream import SF_INDEX
+
+    return np.frombuffer(ext.aac_swb_get(SF_INDEX[sr], 1),
+                         np.uint16).astype(int).tolist()
 
 
 def test_probe_escape_values(ext, orc):
