@@ -206,3 +206,29 @@ def test_bucketed_wave_reuses_one_executable(pair):
     body = a.shape[-1] - n_fft
     np.testing.assert_allclose(ya[:, :body], y_exact[:, :body], atol=2e-4)
     np.testing.assert_allclose(va[:, :body], v_exact[:, :body], atol=2e-4)
+
+
+@pytest.mark.reference
+@pytest.mark.parametrize("cropsize", [512, 1024])
+def test_wide_cropsize_matches_reference(reference_inference, pair, cropsize):
+    """Wide-crop serving (the fast geometry: overlap redundancy
+    cropsize/(cropsize-128) -> 1.14x at 1024 vs 2.0x at the 256
+    default) is the SAME knob the reference exposes (reference
+    inference.py:116 --cropsize): outputs at any cropsize match the
+    reference at that cropsize."""
+    tmod, jmod, v = pair
+    wave = synth_song(seconds=18.0)
+    X_spec = stft_ops.stft_np(wave, 256, 128)
+
+    ref_sp = reference_inference.Separator(
+        tmod, torch.device("cpu"), batchsize=2, cropsize=cropsize,
+        postprocess=False,
+    )
+    ours_sp = Separator(jmod, v, batchsize=2, cropsize=cropsize,
+                        postprocess=False)
+    ref_y, ref_v = ref_sp.separate(X_spec.copy())
+    our_y, our_v = ours_sp.separate(X_spec.copy())
+    scale = np.abs(X_spec).max()
+    assert our_y.shape == ref_y.shape
+    np.testing.assert_allclose(our_y, ref_y, atol=2e-4 * scale)
+    np.testing.assert_allclose(our_v, ref_v, atol=2e-4 * scale)
