@@ -15,6 +15,12 @@ stalls — the tunnel on this host swings 2-4x run to run).
 Breakdown fields (so a regression is attributable to the framework vs
 the host link, VERDICT.md weak #8):
   device_only_xrt   chip pipeline rate with inputs resident on device
+                    (scan-chained single dispatch, measured dispatch
+                    RTT subtracted — robust to tunnel weather)
+  wide_crop_device_xrt  same, at --cropsize 1024 (1.6x fewer FLOPs via
+                    the reference's own geometry flag; ~90 dB SNR vs
+                    the default geometry)
+  dispatch_rtt_ms   measured per-dispatch tunnel round-trip
   link_up_mbps / link_down_mbps   measured H2D / D2H bandwidth
   mfu_pct           model FLOPs utilization vs v5e bf16 peak (197 TF/s)
   mean_xrt          total-elapsed end-to-end rate (the old headline)
@@ -176,20 +182,60 @@ def main(argv=None):
     xrt = SECONDS / statistics.median(intervals)
 
     # ---- breakdown -----------------------------------------------------
-    # device-only rate: inputs resident on device, N back-to-back
-    # dispatches, one tiny D2H fetch to synchronize (execution order on
-    # the single device stream guarantees all earlier runs completed)
+    # device-only rate: N device-resident songs separated inside ONE
+    # dispatch (lax.scan over the stacked PCM), so the tunnel's
+    # per-dispatch RTT — observed swinging 30 ms to 1.6 s day-to-day on
+    # this host — amortizes out; the trivially-measured RTT of a tiny
+    # fetch is then subtracted so the number is chip time, not tunnel
+    # weather. Distinct inputs keep XLA from hoisting the scan body.
+    import jax.numpy as jnp
+    from jax import lax
+
+    def device_chain_xrt(sep_, pcm_stack):
+        run_ = sep_._wave_fn(pcm_stack.shape[-1], False, True, True)
+
+        @jax.jit
+        def chain(waves, variables):
+            def step(_, w):
+                y = run_(w, variables)[0]
+                return None, y[:1, :1].astype(jnp.int32)
+
+            _, outs = lax.scan(step, None, waves)
+            return outs
+
+        dev_ = jax.device_put(pcm_stack)
+        tiny_ = jax.jit(lambda w: w[0, :1, :1].astype(jnp.int32))
+        np.asarray(chain(dev_, sep_.variables))  # compile + warm
+        np.asarray(tiny_(dev_))
+
+        def med(f, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                f()
+                ts.append(time.time() - t0)
+            return sorted(ts)[reps // 2]
+
+        rtt = med(lambda: np.asarray(tiny_(dev_)))
+        t = med(lambda: np.asarray(chain(dev_, sep_.variables)))
+        n = pcm_stack.shape[0]
+        return n * SECONDS / max(t - rtt, 1e-9), rtt, run_
+
     pcm = svc._prepare(songs[0])
-    run = sep._wave_fn(pcm.shape[-1], False, True, True)
-    dev = jax.device_put(pcm)
-    np.asarray(run(dev, sep.variables)[0][:1, :1])  # warm
-    t0 = time.time()
-    out = None
-    for _ in range(N_DEVICE_RUNS):
-        out = run(dev, sep.variables)
-    np.asarray(out[0][:1, :1])
-    dt_device = time.time() - t0
-    device_only_xrt = N_DEVICE_RUNS * SECONDS / dt_device
+    pcm_stack = np.stack([svc._prepare(s) for s in songs[:N_DEVICE_RUNS]])
+    device_only_xrt, rtt, run = device_chain_xrt(sep, pcm_stack)
+
+    # wide-crop serving geometry: --cropsize 1024 (a first-class
+    # reference flag, inference.py:116) cuts the windowing contract's
+    # overlap redundancy from 2.0x to 1.14x — 1.6x fewer FLOPs/song,
+    # outputs within ~90 dB of the default geometry (BENCH_NOTES r3).
+    wide_crop_device_xrt = None
+    try:
+        sep_wide = Separator(model, sep.variables, batchsize=3,
+                             cropsize=1024)
+        wide_crop_device_xrt, _, _ = device_chain_xrt(sep_wide, pcm_stack)
+    except Exception:
+        pass
 
     # link bandwidth: H2D of the 10.6 MB PCM16 song (synchronized by a
     # tiny dependent fetch), D2H of the full song
@@ -250,6 +296,11 @@ def main(argv=None):
                 + ("" if args.no_serving else "+serving"),
                 "mean_xrt": round(mean_xrt, 2),
                 "device_only_xrt": round(device_only_xrt, 2),
+                "wide_crop_device_xrt": (
+                    round(wide_crop_device_xrt, 2)
+                    if wide_crop_device_xrt else None
+                ),
+                "dispatch_rtt_ms": round(rtt * 1e3, 1),
                 "link_up_mbps": round(nbytes / dt_up / 1e6, 1),
                 "link_down_mbps": round(nbytes / dt_down / 1e6, 1),
                 "mfu_pct": mfu_pct,

@@ -43,10 +43,12 @@ def main():
 
     enable_compile_cache()
     rng = np.random.default_rng(0)
-    L = 16
+    L = 8
 
     # ---- square matmul chains: bf16 vs int8 --------------------------
-    m = 4096
+    # m=2048 keeps the compile cheap; the chain amortizes dispatch, and
+    # 2048^3 dots are already far past the MXU's compute-bound knee.
+    m = 2048
     for name, dt in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
         if dt == jnp.int8:
             a = jax.device_put(jnp.asarray(
@@ -72,6 +74,7 @@ def main():
             return y
 
         try:
+            print(f"matmul {name}: compiling...", flush=True)
             per = timeit(chain, a) / L
             tops = 2 * m ** 3 / per / 1e12
             print(f"matmul {name} {m}x{m}: {per * 1e3:7.2f} ms  "
@@ -112,6 +115,7 @@ def main():
             return outs
 
         try:
+            print(f"im2col-dot {name}: compiling...", flush=True)
             per = timeit(conv_chain, xx) / (L // 2)
             flops = 2 * (B * H * W // (L // 2)) * K * C
             print(f"im2col-dot {name} (hot conv shape): "
