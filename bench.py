@@ -20,6 +20,10 @@ the host link, VERDICT.md weak #8):
   wide_crop_device_xrt  same, at --cropsize 1024 (1.6x fewer FLOPs via
                     the reference's own geometry flag; ~90 dB SNR vs
                     the default geometry)
+  group_wide_device_xrt crop 1024 with cross-song patch batching
+                    (SeparatorService group=8): 8 songs' patches merged
+                    into full batch-24 model chunks — the wide-crop
+                    FLOP saving without underfilling the chip
   dispatch_rtt_ms   measured per-dispatch tunnel round-trip
   link_up_mbps / link_down_mbps   measured H2D / D2H bandwidth
   mfu_pct           model FLOPs utilization vs v5e bf16 peak (197 TF/s)
@@ -237,6 +241,46 @@ def main(argv=None):
     except Exception:
         pass
 
+    # grouped wide-crop serving (SeparatorService group=N): the patch
+    # axes of N songs merge into one batchsize-chunked model stream, so
+    # wide-crop geometry (1.6x fewer FLOPs) no longer underfills the
+    # chip (3 patches/song at crop 1024). One dispatch separates the
+    # whole stack; a device-side checksum forces every output (no DCE),
+    # and the measured dispatch RTT is subtracted as above.
+    group_wide_device_xrt = None
+    try:
+        sep_wg = Separator(model, sep.variables, batchsize=24,
+                           cropsize=1024)
+        run_g = sep_wg._multiwave_fn(
+            N_DEVICE_RUNS, pcm_stack.shape[-1], False, True, True
+        )
+
+        @jax.jit
+        def grouped(waves, variables):
+            y = run_g(waves, variables)[0]
+            return jnp.sum(y.astype(jnp.int32))[None]
+
+        dev_g = jax.device_put(pcm_stack)
+        tiny_g = jax.jit(lambda w: w[0, :1, :1].astype(jnp.int32))
+        np.asarray(grouped(dev_g, sep_wg.variables))  # compile + warm
+        np.asarray(tiny_g(dev_g))
+
+        def med(f, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                f()
+                ts.append(time.time() - t0)
+            return sorted(ts)[reps // 2]
+
+        rtt_g = med(lambda: np.asarray(tiny_g(dev_g)))
+        t_g = med(lambda: np.asarray(grouped(dev_g, sep_wg.variables)))
+        group_wide_device_xrt = (
+            N_DEVICE_RUNS * SECONDS / max(t_g - rtt_g, 1e-9)
+        )
+    except Exception:
+        pass
+
     # link bandwidth: H2D of the 10.6 MB PCM16 song (synchronized by a
     # tiny dependent fetch), D2H of the full song
     tiny = jax.jit(lambda w: w[:1, :1])
@@ -299,6 +343,10 @@ def main(argv=None):
                 "wide_crop_device_xrt": (
                     round(wide_crop_device_xrt, 2)
                     if wide_crop_device_xrt else None
+                ),
+                "group_wide_device_xrt": (
+                    round(group_wide_device_xrt, 2)
+                    if group_wide_device_xrt else None
                 ),
                 "dispatch_rtt_ms": round(rtt * 1e3, 1),
                 "link_up_mbps": round(nbytes / dt_up / 1e6, 1),

@@ -232,3 +232,66 @@ def test_wide_cropsize_matches_reference(reference_inference, pair, cropsize):
     assert our_y.shape == ref_y.shape
     np.testing.assert_allclose(our_y, ref_y, atol=2e-4 * scale)
     np.testing.assert_allclose(our_v, ref_v, atol=2e-4 * scale)
+
+
+def _songs_stack(n, seconds=4.0, sr=8000):
+    base = synth_song(sr=sr, seconds=seconds)
+    rng = np.random.default_rng(21)
+    out = [base]
+    for i in range(1, n):
+        noise = rng.standard_normal(base.shape).astype(np.float32)
+        out.append((0.4 * base * (0.5 + 0.3 * i) + 0.05 * noise).astype(
+            np.float32))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("tta", [False, True])
+def test_separate_waves_matches_per_song(pair, tta):
+    """Cross-song patch batching: the merged-stream multiwave pipeline
+    produces the same per-song outputs as separate_wave (each patch
+    sees the same model + its own song's normalization; only the
+    lax.map chunk boundaries differ)."""
+    _, jmod, v = pair
+    sep = Separator(jmod, v, batchsize=2, cropsize=256)
+    stack = _songs_stack(3)
+    ys, vs = sep.separate_waves(stack, tta=tta)
+    assert ys.shape == stack.shape and vs.shape == stack.shape
+    for i in range(stack.shape[0]):
+        y1, v1 = sep.separate_wave(stack[i], tta=tta)
+        np.testing.assert_allclose(ys[i], y1, atol=2e-5)
+        np.testing.assert_allclose(vs[i], v1, atol=2e-5)
+
+
+def test_separate_waves_pcm16(pair):
+    _, jmod, v = pair
+    sep = Separator(jmod, v, batchsize=2, cropsize=256)
+    stack = _songs_stack(2)
+    ys, vs = sep.separate_waves(stack, pcm16_io=True)
+    assert ys.dtype == np.int16
+    for i in range(stack.shape[0]):
+        y1, v1 = sep.separate_wave(stack[i], pcm16_io=True)
+        assert np.abs(ys[i].astype(np.int32) - y1.astype(np.int32)).max() <= 1
+        assert np.abs(vs[i].astype(np.int32) - v1.astype(np.int32)).max() <= 1
+
+
+def test_service_group_matches_per_song(pair):
+    """group=N service: same outputs and order as group=1, including a
+    length-change flush and a repeat-padded final partial group."""
+    from vocal_remover_tpu.separate.service import SeparatorService
+
+    _, jmod, v = pair
+    sep = Separator(jmod, v, batchsize=2, cropsize=256)
+    songs = (
+        [synth_song(seconds=3.0)]            # lone length -> flush
+        + list(_songs_stack(3, seconds=4.0))  # one full group + partial
+    )
+    svc1 = SeparatorService(sep, pcm16_io=True, vocals_residual=True,
+                            group=1)
+    svcg = SeparatorService(sep, pcm16_io=True, vocals_residual=True,
+                            group=2)
+    outs1 = list(svc1.map(songs))
+    outsg = list(svcg.map(songs))
+    assert len(outsg) == len(outs1) == len(songs)
+    for (y1, v1), (yg, vg) in zip(outs1, outsg):
+        assert np.abs(yg.astype(np.int32) - y1.astype(np.int32)).max() <= 1
+        assert np.abs(vg.astype(np.int32) - v1.astype(np.int32)).max() <= 1

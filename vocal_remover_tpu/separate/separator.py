@@ -315,6 +315,170 @@ class Separator:
 
         return run
 
+    # ------------------------------------------------------------------
+    # cross-song patch batching: many songs, one merged model stream
+    # ------------------------------------------------------------------
+
+    def _multiwave_fn(self, n_songs: int, n_samples: int, tta: bool,
+                      pcm16_io: bool, only_instruments: bool = False):
+        return self._cached_fn(
+            ("multiwave", n_songs, n_samples, tta, pcm16_io,
+             only_instruments),
+            lambda: self._build_multiwave_fn(
+                n_songs, n_samples, tta, pcm16_io, only_instruments
+            ),
+        )
+
+    def _build_multiwave_fn(self, n_songs: int, n_samples: int, tta: bool,
+                            pcm16_io: bool,
+                            only_instruments: bool = False):
+        """Jitted pipeline over a STACK of equal-length songs.
+
+        Per-song semantics are identical to `_build_wave_fn` (per-song
+        normalization, same windowing contract), but the patch axes of
+        all songs are merged into ONE model-call stream before the
+        `batchsize` chunking. This matters for wide-crop serving: at
+        --cropsize 1024 a 60 s song is only 3 patches, and batch-3
+        convs/LSTM underfill the MXU (measured MFU 11.35% -> 8.82%,
+        BENCH_NOTES.md patch-geometry study); merging 8 songs restores
+        batch-24 chunks while keeping the 1.6x overlap-FLOP saving.
+        """
+        model = self.model
+        n_fft, hop = model.n_fft, model.hop_length
+        crop, off, bs = self.cropsize, self.offset, self.batchsize
+        S = n_songs
+
+        from vocal_remover_tpu.ops.stft import num_frames
+
+        n_frame = num_frames(n_samples, n_fft, hop)
+        pad_l, pad_r, roi = make_padding(n_frame, crop, off)
+        shift = roi // 2
+        is_cx = model.is_complex
+
+        def merged_masks(re_pad, im_pad, inv, variables):
+            # re_pad/im_pad: (S, 2, F, T_pad); inv: (S,) per-song scale
+            scale = inv[:, None, None, None]
+            if is_cx:
+                feats = jnp.concatenate([re_pad, im_pad], axis=1) * scale
+            else:
+                feats = jnp.sqrt(re_pad * re_pad + im_pad * im_pad) * scale
+            patches = extract_patches(feats, crop, roi, off)  # (P,S,C,F,c)
+            x = jnp.transpose(patches, (1, 0, 3, 4, 2))  # (S,P,F,crop,C)
+            n_p = x.shape[1]
+            x = x.reshape(S * n_p, *x.shape[2:])
+            # pad the MERGED patch axis (not each song's frames) up to a
+            # whole number of chunks; at most bs-1 wasted patches per
+            # group instead of per song
+            total = -(-(S * n_p) // bs) * bs
+            if total != S * n_p:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((total - S * n_p, *x.shape[1:]), x.dtype)],
+                    axis=0,
+                )
+            out = jax.lax.map(
+                lambda xb: model(variables, xb),
+                x.reshape(total // bs, bs, *x.shape[1:]),
+            )
+            out = out.reshape(total, *out.shape[2:])[: S * n_p]
+            out = out.reshape(S, n_p, *out.shape[1:])
+            out = jnp.transpose(out, (0, 1, 4, 2, 3))  # (S,P,C,F,crop)
+            return jax.vmap(lambda m: stitch_masks(m, off))(out)
+
+        def lexmax_abs(re, im):
+            r_star = jnp.max(re)
+            i_star = jnp.max(jnp.where(re == r_star, im, -jnp.inf))
+            return jnp.sqrt(r_star * r_star + i_star * i_star)
+
+        @jax.jit
+        def run(waves, variables):  # waves: (S, 2, n_samples)
+            if pcm16_io:
+                waves = waves.astype(jnp.float32) / 32768.0
+            re, im = jax.vmap(lambda w: stft(w, n_fft, hop))(waves)
+            pad_cfg = ((0, 0), (0, 0), (0, 0), (pad_l, pad_r))
+            re_pad = jnp.pad(re, pad_cfg)
+            im_pad = jnp.pad(im, pad_cfg)
+
+            if tta:
+                inv1 = 1.0 / jax.vmap(lexmax_abs)(re_pad, im_pad)
+                m1 = merged_masks(re_pad, im_pad, inv1, variables)
+                m1 = m1[..., :n_frame]
+                pad2 = ((0, 0), (0, 0), (0, 0),
+                        (pad_l + shift, pad_r + shift))
+                re2 = jnp.pad(re, pad2)
+                im2 = jnp.pad(im, pad2)
+                inv2 = 1.0 / jax.vmap(lexmax_abs)(re2, im2)
+                m2 = merged_masks(re2, im2, inv2, variables)[..., shift:]
+                mask = (m1 + m2[..., :n_frame]) * 0.5
+            else:
+                inv = 1.0 / jnp.max(
+                    jnp.sqrt(re * re + im * im), axis=(1, 2, 3)
+                )
+                mask = merged_masks(re_pad, im_pad, inv, variables)
+                mask = mask[..., :n_frame]
+
+            def to_i16(w):
+                w = jnp.clip(w, -1.0, 1.0 - 1.0 / 32768.0)
+                return jnp.round(w * 32768.0).astype(jnp.int16)
+
+            if is_cx:
+                mr, mi = mask[:, :2], mask[:, 2:]
+                y_re = mr * re - mi * im
+                y_im = mr * im + mi * re
+                v_re, v_im = re - y_re, im - y_im
+            else:
+                y_re, y_im = mask * re, mask * im
+                v_re, v_im = (1 - mask) * re, (1 - mask) * im
+
+            do_istft = jax.vmap(
+                lambda r, i: istft(r, i, n_fft, hop, n_samples)
+            )
+            y_wave = do_istft(y_re, y_im)
+            if only_instruments:
+                return (to_i16(y_wave),) if pcm16_io else (y_wave,)
+            v_wave = do_istft(v_re, v_im)
+            if pcm16_io:
+                return to_i16(y_wave), to_i16(v_wave)
+            return y_wave, v_wave
+
+        return run
+
+    def separate_waves(self, waves: np.ndarray, tta: bool = False,
+                       pcm16_io: bool = False):
+        """(S, 2, n_samples) stack of equal-length songs ->
+        (instruments_stack, vocals_stack), each (S, 2, n_samples).
+
+        Cross-song patch batching: all songs' patches run through one
+        merged `batchsize`-chunked model stream (one device dispatch for
+        the whole group). Per-song outputs match `separate_wave` — every
+        patch sees the same model and its own song's normalization; only
+        the chunk boundaries differ. Requires postprocess=False like
+        `separate_wave`.
+        """
+        if self.postprocess:
+            raise ValueError(
+                "separate_waves is the pure-device path; postprocess "
+                "requires the spectrogram API (separate/separate_tta)"
+            )
+        waves = np.asarray(waves)
+        if waves.ndim != 3:
+            raise ValueError("separate_waves expects a (S, 2, n) stack")
+        run = self._multiwave_fn(waves.shape[0], waves.shape[-1], tta,
+                                 pcm16_io)
+        if pcm16_io and waves.dtype != np.int16:
+            from vocal_remover_tpu import native
+
+            enc = native.pcm16_encode(
+                np.ascontiguousarray(waves, np.float32)
+            )
+            if enc is not None:
+                waves = enc
+            else:
+                waves = np.clip(waves, -1.0, 1.0 - 1.0 / 32768.0)
+                waves = np.round(waves * 32768.0).astype(np.int16)
+        dtype = np.int16 if pcm16_io else np.float32
+        y, v = run(np.ascontiguousarray(waves, dtype), self.variables)
+        return np.asarray(y), np.asarray(v)
+
     def separate_wave(self, wave: np.ndarray, tta: bool = False,
                       pcm16_io: bool = False, bucket: int | None = None):
         """(2, n_samples) wave -> (instruments_wave, vocals_wave).
