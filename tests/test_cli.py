@@ -108,6 +108,31 @@ def test_inference_cli_batch_dir(tiny_ckpt, song, tmp_path):
     )
 
 
+def test_inference_cli_batch_dir_grouped(tiny_ckpt, song, tmp_path):
+    """--group 2 over 3 songs: one merged model stream per pair, same
+    outputs as per-song serving (energy conservation per song)."""
+    from vocal_remover_tpu.cli.inference import main
+
+    path, w, sr = song
+    d = os.path.dirname(path)
+    for name in ("song2.wav", "song3.wav"):
+        audio.write_wav(os.path.join(d, name), 0.5 * w, sr)
+    out = str(tmp_path / "group_out")
+    main([
+        "--input_dir", d, "-P", tiny_ckpt,
+        "-f", "256", "-H", "128", "-o", out, "-B", "2", "--group", "2",
+    ])
+    n_fft = 256
+    for name, scale in (("song", 1.0), ("song2", 0.5), ("song3", 0.5)):
+        inst, _ = audio.read_wav(os.path.join(out, f"{name}_Instruments.wav"))
+        voc, _ = audio.read_wav(os.path.join(out, f"{name}_Vocals.wav"))
+        assert inst.shape == w.shape
+        np.testing.assert_allclose(
+            (inst + voc)[:, n_fft:-n_fft], scale * w[:, n_fft:-n_fft],
+            atol=5e-3,
+        )
+
+
 @pytest.fixture
 def dataset_dir(tmp_path):
     sr = 44100

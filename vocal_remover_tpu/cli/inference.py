@@ -75,6 +75,12 @@ def build_parser():
                         'length instead of padding to 30 s buckets '
                         '(bit-faithful song tail, but each new length '
                         'pays a fresh multi-minute compile)')
+    p.add_argument('--group', type=int, default=1,
+                   help='directory mode: cross-song patch batching — '
+                        'stack N consecutive equal-length (bucketed) '
+                        'songs into one merged model stream per device '
+                        'dispatch; raises device utilization at wide '
+                        '--cropsize where one song has few patches')
     p.add_argument('--data_parallel', type=int, default=1,
                    help='shard the patch axis of each song over an '
                         'N-device mesh (0 = all local devices; '
@@ -137,11 +143,16 @@ def _run_batch(args, model, variables):
             padded = -(-n // bucket) * bucket
             yield np.pad(X, ((0, 0), (0, padded - n)))
 
+    if args.group > 1 and args.data_parallel != 1:
+        raise SystemExit(
+            "--group batches songs on one chip; combine with "
+            "--data_parallel is not supported (pick one axis)"
+        )
     sp = Separator(model, variables, batchsize=args.batchsize,
                    cropsize=args.cropsize,
                    mesh=_inference_mesh(args.data_parallel))
     svc = SeparatorService(sp, pcm16_io=True, tta=args.tta,
-                           vocals_residual=True)
+                           vocals_residual=True, group=args.group)
 
     for i, (y, v) in enumerate(svc.map(gen())):
         basename = os.path.splitext(os.path.basename(files[i]))[0]
