@@ -184,15 +184,32 @@ def main(argv=None):
     nn_config.set_lstm_impl(args.lstm_impl)
 
     with _stage('load model'):
-        model, variables = convert.load_model(
-            args.pretrained_model, args.n_fft, args.hop_length, 32, 128
-        )
-    if args.precision == 'bfloat16':
-        # serving transform: eval-BN folding + bf16-resident weights
-        # (halves weight HBM traffic; pairs with bf16 activations)
-        from vocal_remover_tpu.models import serving
+        if args.pretrained_model.endswith('.vrtx'):
+            # AOT serving artifact: weights + serving transform are
+            # baked into the exported computation (separate/artifact.py)
+            from vocal_remover_tpu.separate.artifact import load_artifact
 
-        variables = serving.serving_variables(variables, 'bfloat16')
+            model = load_artifact(args.pretrained_model)
+            variables = {}
+            if args.cropsize not in model.cropsizes:
+                raise SystemExit(
+                    f"artifact carries cropsizes {model.cropsizes}; "
+                    f"pass --cropsize one of those (got {args.cropsize})"
+                )
+        else:
+            model, variables = convert.load_model(
+                args.pretrained_model, args.n_fft, args.hop_length, 32,
+                128,
+            )
+            if args.precision == 'bfloat16':
+                # serving transform: eval-BN folding + bf16-resident
+                # weights (halves weight HBM traffic; pairs with bf16
+                # activations)
+                from vocal_remover_tpu.models import serving
+
+                variables = serving.serving_variables(
+                    variables, 'bfloat16'
+                )
 
     if args.profile is not None:
         import jax

@@ -111,6 +111,13 @@ class CascadedNet:
         headroom that enables large batch x cropsize training."""
         rngs = self._rngs(rng)
         nv = {}
+        if x.ndim != 4 or x.shape[1] < self.max_bin:
+            # a too-short bin axis would only surface as a cryptic
+            # einsum/conv shape error deep inside a band net
+            raise ValueError(
+                f"CascadedNet expects (N, >={self.max_bin} bins, T, C) "
+                f"input (n_fft={self.n_fft}), got {x.shape}"
+            )
 
         def stage(net, vs, xin, r):
             fn = lambda vv, xx: net.apply(vv, xx, train=train, rng=r)  # noqa: E731
