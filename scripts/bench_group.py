@@ -14,6 +14,7 @@ subtracted).
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -26,7 +27,7 @@ SR = 44100
 SECONDS = 60
 
 # (group songs, cropsize, model-chunk batchsize)
-CONFIGS = (
+DEFAULT_CONFIGS = (
     (8, 1024, 24),
     (10, 1024, 30),
     (12, 1024, 36),
@@ -34,7 +35,24 @@ CONFIGS = (
 )
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--configs", type=str, default=None,
+        help="comma list of group:cropsize:batchsize triples, e.g. "
+             "'8:2048:16,8:2048:8' (default: the crop-1024 sweep)")
+    p.add_argument(
+        "--dtype", type=str, default="bfloat16",
+        choices=["bfloat16", "int8"],
+        help="serving weight transform: bf16-resident weights or the "
+             "per-channel int8 conv stack (models/serving.quantize_int8)")
+    args = p.parse_args(argv)
+    CONFIGS = DEFAULT_CONFIGS
+    if args.configs:
+        CONFIGS = tuple(
+            tuple(int(v) for v in spec.split(":"))
+            for spec in args.configs.split(",")
+        )
     import jax
     import jax.numpy as jnp
 
@@ -48,8 +66,15 @@ def main():
     nn_config.set_precision("bfloat16")
 
     model = CascadedNet(2048, 1024, 32, 128)
+    cal = None
+    if args.dtype == "int8":
+        # static activation scales: one synthetic magnitude batch is
+        # enough for a SPEED measurement (scales don't change timing)
+        cal = [np.abs(np.random.default_rng(1).standard_normal(
+            (2, model.output_bin, 256, 2))).astype(np.float32) * 0.3]
     variables = serving.serving_variables(
-        model.init(jax.random.PRNGKey(0)), "bfloat16"
+        model.init(jax.random.PRNGKey(0)), args.dtype,
+        model=model, calibration_batches=cal,
     )
 
     rng = np.random.default_rng(0)

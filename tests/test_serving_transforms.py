@@ -75,3 +75,93 @@ def test_cast_weights_bf16_close(setup):
     # sigmoid-mask deltas stay small under bf16 weights+activations
     assert np.abs(out - ref).max() < 0.05
     assert np.abs(out - ref).mean() < 2e-3
+
+
+def _snr_db(ref, test):
+    num = float(np.sum(ref.astype(np.float64) ** 2))
+    den = float(np.sum((ref - test).astype(np.float64) ** 2))
+    return float("inf") if den == 0 else 10.0 * np.log10(num / max(den, 1e-300))
+
+
+def test_quantize_int8_structure(setup):
+    from vocal_remover_tpu.models.serving import quantize_int8
+
+    model, variables, x = setup
+    q = quantize_int8(fold_batch_norms(variables))
+    enc = q["stg3_full_band_net"]["enc1"]["conv"]
+    assert set(enc.keys()) == {"q", "scale"}
+    assert np.asarray(enc["q"]).dtype == np.int8
+    assert np.asarray(enc["scale"]).dtype == np.float32
+    # f32-kept zones: LSTM branch and mask heads
+    lstm_conv = q["stg3_full_band_net"]["lstm_dec2"]["conv"]["conv"]
+    assert hasattr(lstm_conv, "shape") and lstm_conv.dtype == np.float32
+    assert hasattr(q["out"]["conv"], "shape")
+    # per-channel scale covers every output channel
+    kq = np.asarray(enc["q"], np.float32) * np.asarray(enc["scale"])
+    w = np.asarray(
+        fold_batch_norms(variables)["stg3_full_band_net"]["enc1"]["conv"]
+    )
+    assert np.abs(kq - w).max() <= np.abs(w).max() / 127.0 + 1e-7
+
+
+def test_int8_serving_mask_quality(setup):
+    """The int8 serving quality gate (VERDICT r03 #1): masks from the
+    quantized conv stack must stay >= 40 dB SNR vs the f32 eval
+    forward on a realistic magnitude input."""
+    from vocal_remover_tpu.models.serving import serving_variables
+    from vocal_remover_tpu.nn import config as nn_config
+
+    model, variables, x = setup
+    ref = np.asarray(model(variables, x))
+    v8 = serving_variables(variables, "int8")
+    with nn_config.precision("bfloat16"):
+        out = np.asarray(model(v8, x)).astype(np.float32)
+    snr = _snr_db(ref, out)
+    assert snr >= 40.0, f"int8 mask SNR {snr:.1f} dB < 40 dB gate"
+    assert np.abs(out - ref).max() < 0.1
+
+
+def test_int8_separation_quality(setup):
+    """End-to-end: int8 Separator output waves vs f32 on a synthetic
+    song — the separated stems must agree at >= 40 dB."""
+    from vocal_remover_tpu.models.serving import serving_variables
+    from vocal_remover_tpu.nn import config as nn_config
+    from vocal_remover_tpu.ops.stft import stft_np
+    from vocal_remover_tpu.separate.separator import Separator
+
+    model, variables, _ = setup
+    rng = np.random.default_rng(5)
+    n = 44100 * 2
+    t = np.arange(n) / 44100.0
+    wave = np.stack([
+        0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(n),
+        0.4 * np.sin(2 * np.pi * 330 * t) + 0.1 * rng.standard_normal(n),
+    ]).astype(np.float32)
+    X = stft_np(wave, model.n_fft, model.hop_length)
+
+    y_ref, v_ref = Separator(model, variables, 4, 256).separate(X)
+    v8 = serving_variables(variables, "int8")
+    with nn_config.precision("bfloat16"):
+        y8, v8_spec = Separator(model, v8, 4, 256).separate(X)
+    for ref_s, test_s in ((y_ref, y8), (v_ref, v8_spec)):
+        snr = _snr_db(np.abs(ref_s), np.abs(test_s))
+        assert snr >= 40.0, f"int8 stem SNR {snr:.1f} dB < 40 dB gate"
+
+
+def test_int8_static_calibration(setup):
+    """Calibrated static activation scales: a_scale leaves embedded,
+    and quality on in-distribution inputs still >= 40 dB."""
+    from vocal_remover_tpu.models.serving import serving_variables
+    from vocal_remover_tpu.nn import config as nn_config
+
+    model, variables, x = setup
+    ref = np.asarray(model(variables, x))
+    v8 = serving_variables(
+        variables, "int8", model=model, calibration_batches=[x]
+    )
+    enc = v8["stg3_full_band_net"]["enc1"]["conv"]
+    assert "a_scale" in enc and np.asarray(enc["a_scale"]).dtype == np.float32
+    with nn_config.precision("bfloat16"):
+        out = np.asarray(model(v8, x)).astype(np.float32)
+    snr = _snr_db(ref, out)
+    assert snr >= 40.0, f"calibrated int8 mask SNR {snr:.1f} dB < 40 dB"

@@ -16,12 +16,23 @@ training graph can't:
     masks differ from f32 serving at the ~1e-4 level (sigmoid output),
     see BENCH_NOTES.md.
 
-Both transforms are pure pytree -> pytree; the model object is
+  * `quantize_int8` — per-output-channel symmetric int8 conv kernels
+    for the U-Net conv stack. The MXU runs int8 at 2x the bf16 rate
+    and the conv reads half the bytes; activations are quantized
+    dynamically per conv call (nn/functional.conv2d_int8). The LSTM
+    branch and the mask heads stay float (they are a tiny fraction of
+    the FLOPs and the most numerically sensitive); quality is gated by
+    tests/test_serving_transforms.py (mask SNR vs f32) and
+    scripts/check_serving_snr.py on real audio.
+
+All transforms are pure pytree -> pytree; the model object is
 unchanged and `model(variables, x)` (eval mode) produces the same masks
 within float tolerance.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +40,8 @@ import numpy as np
 
 from vocal_remover_tpu.nn.functional import BN_EPS
 
-__all__ = ["fold_batch_norms", "cast_weights"]
+__all__ = ["fold_batch_norms", "cast_weights", "quantize_int8",
+           "calibrate_act_scales", "serving_variables"]
 
 
 def _identity_bn(bias, dtype=jnp.float32):
@@ -117,15 +129,118 @@ def cast_weights(variables, dtype=jnp.bfloat16):
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         if any(p == "bn" or p == "dense_bn" for p in path):
             return node
+        if path and path[-1] in ("q", "scale", "a_scale"):
+            # int8-quantized conv leaf: values stay int8, the
+            # weight/activation scales stay f32
+            return node
         return jnp.asarray(node, dtype)
 
     return walk(variables)
 
 
-def serving_variables(variables, dtype=None):
-    """fold_batch_norms + optional weight cast in one call (the
-    serving pipelines' standard transform)."""
+def calibrate_act_scales(model, variables, batches, margin=1.0):
+    """Record per-conv input-activation amax over eager eval forwards
+    of `batches` (NHWC arrays) and return {kernel-leaf id: f32 scale}
+    for quantize_int8's static activation quantization.
+
+    Static scales replace the dynamic per-dispatch amax reduction —
+    an unfusable extra pass over every conv input that measured slower
+    than the int8 MXU gain itself (BENCH_NOTES round 4). Inputs beyond
+    the calibrated range saturate at +-127; `margin` scales the
+    recorded amax for headroom. Call with the SAME `variables` tree
+    that will be passed to quantize_int8 (scales are keyed by leaf
+    identity).
+
+    The eager forward is pinned to the CPU backend: calibration runs
+    one op at a time (the recorder needs a host sync per conv), which
+    over a tunneled TPU costs a round-trip per op — minutes for a
+    millisecond-scale computation whose result is backend-independent.
+    """
+    from vocal_remover_tpu.nn import config as nn_config
+
+    rec: dict = {}
+    with nn_config.calibration(rec):
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with contextlib.nullcontext() if cpu is None else (
+            jax.default_device(cpu)
+        ):
+            for x in batches:
+                model(variables, x)
+    return {
+        k: np.float32(max(v * margin, 1e-30) / 127.0)
+        for k, v in rec.items()
+    }
+
+
+def quantize_int8(variables, act_scales=None):
+    """Quantize the Conv2DBNActiv kernels of a BN-folded variable tree
+    to per-output-channel symmetric int8 ({"q": int8 HWIO, "scale":
+    f32 (Cout,)} leaves, dispatched by nn/functional.conv2d). Skipped
+    (kept float, VERDICT r03 #1 'f32 head/LSTM'):
+
+      * everything under an `lstm_dec2` module (the BiLSTM branch —
+        its 1x1 squeeze conv feeds a single-channel recurrence, the
+        least quantization-tolerant spot in the net);
+      * the `out`/`aux_out` mask heads (1x1 conv straight into the
+        sigmoid — mask error there is output error).
+
+    Call on fold_batch_norms output; the identity-BN bias that carries
+    the folded shift stays f32 and is added after dequantization.
+
+    act_scales: optional {kernel-leaf id: f32 scale} from
+    calibrate_act_scales — embeds a static "a_scale" per conv so the
+    serving graph quantizes activations with one fusable round/clip
+    instead of a per-dispatch amax reduction.
+    """
+
+    def quant(kernel):
+        w = np.asarray(kernel, np.float32)
+        scale = np.max(np.abs(w), axis=(0, 1, 2))  # per out channel
+        scale = np.maximum(scale, 1e-30) / 127.0
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        out = {"q": jnp.asarray(q), "scale": jnp.asarray(scale, jnp.float32)}
+        if act_scales is not None and id(kernel) in act_scales:
+            out["a_scale"] = jnp.asarray(act_scales[id(kernel)], jnp.float32)
+        return out
+
+    def walk(node, path=()):
+        if not isinstance(node, dict):
+            return node
+        if any(p in ("lstm_dec2", "out", "aux_out") for p in path):
+            return node
+        if set(node.keys()) == {"conv", "bn"} and hasattr(
+            node["conv"], "shape"
+        ):
+            return {"conv": quant(node["conv"]), "bn": node["bn"]}
+        return {k: walk(v, path + (k,)) for k, v in node.items()}
+
+    return walk(variables)
+
+
+def serving_variables(variables, dtype=None, model=None,
+                      calibration_batches=None):
+    """fold_batch_norms + optional weight transform in one call (the
+    serving pipelines' standard transform). dtype: None keeps f32
+    weights, 'bfloat16'/jnp.bfloat16 casts them, 'int8' quantizes the
+    conv stack (per-channel symmetric) and casts the remaining float
+    weights to bf16.
+
+    For int8, pass `model` + `calibration_batches` (NHWC magnitude
+    arrays) to calibrate static activation scales — without them the
+    graph falls back to per-dispatch dynamic quantization (slower:
+    one extra reduction pass per conv)."""
     v = fold_batch_norms(variables)
-    if dtype is not None:
+    if dtype == "int8":
+        act_scales = None
+        if model is not None and calibration_batches is not None:
+            act_scales = calibrate_act_scales(
+                model, v, calibration_batches
+            )
+        v = quantize_int8(v, act_scales)
+        v = cast_weights(v, jnp.bfloat16)
+    elif dtype is not None:
         v = cast_weights(v, dtype)
     return jax.device_put(v)

@@ -19,6 +19,27 @@ import jax.numpy as jnp
 _precision = "highest"
 _compute_dtype = jnp.float32
 _lstm_impl = "scan"
+_calibration_recorder = None
+
+
+def get_calibration_recorder():
+    """dict (kernel-leaf id -> input amax) while an int8 activation-
+    scale calibration pass is active (models/serving.
+    calibrate_act_scales), else None."""
+    return _calibration_recorder
+
+
+@contextlib.contextmanager
+def calibration(recorder: dict):
+    """Route every float conv2d's input amax into `recorder` for the
+    duration (eager forwards only — traced calls cannot record)."""
+    global _calibration_recorder
+    old = _calibration_recorder
+    _calibration_recorder = recorder
+    try:
+        yield recorder
+    finally:
+        _calibration_recorder = old
 
 
 def set_lstm_impl(impl: str):
