@@ -48,18 +48,27 @@ def build_parser():
     p.add_argument('--sr', '-r', type=int, default=44100)
     p.add_argument('--n_fft', '-f', type=int, default=2048)
     p.add_argument('--hop_length', '-H', type=int, default=1024)
-    p.add_argument('--batchsize', '-B', type=int, default=4)
-    p.add_argument('--cropsize', '-c', type=int, default=256)
+    p.add_argument('--batchsize', '-B', type=int, default=None,
+                   help='model-call chunk size (default: 4, matching '
+                        'the reference; directory mode defaults to 24)')
+    p.add_argument('--cropsize', '-c', type=int, default=None,
+                   help='patch width in frames (default: 256, matching '
+                        'the reference; directory mode defaults to the '
+                        'measured-fastest wide-crop 1024 — 1.6x less '
+                        'overlap compute, ~90 dB output SNR vs 256)')
     p.add_argument('--output_image', '-I', action='store_true')
     p.add_argument('--tta', '-t', action='store_true')
     p.add_argument('--postprocess', '-p', action='store_true')
     p.add_argument('--output_dir', '-o', type=str, default="")
-    p.add_argument('--precision', type=str, default='highest',
-                   choices=['highest', 'default', 'bfloat16'],
-                   help='highest = f32-faithful; default = bf16 MXU '
-                        'multiplies; bfloat16 = serving mode (folded '
-                        'BatchNorm, bf16-resident weights and '
-                        'activations; masks differ from f32 at ~1e-4)')
+    p.add_argument('--precision', type=str, default=None,
+                   choices=['highest', 'default', 'bfloat16', 'int8'],
+                   help='highest = f32-faithful (single-file default); '
+                        'default = bf16 MXU multiplies; bfloat16 = '
+                        'serving mode (folded BatchNorm, bf16-resident '
+                        'weights and activations; masks differ from f32 '
+                        'at ~1e-4; directory-mode default); int8 = '
+                        'quantized serving (per-channel int8 conv '
+                        'weights, dynamic activation quant on the MXU)')
     p.add_argument('--lstm_impl', type=str, default='scan',
                    choices=['scan', 'pallas'],
                    help='pallas = fused TPU recurrence kernel')
@@ -75,12 +84,15 @@ def build_parser():
                         'length instead of padding to 30 s buckets '
                         '(bit-faithful song tail, but each new length '
                         'pays a fresh multi-minute compile)')
-    p.add_argument('--group', type=int, default=1,
+    p.add_argument('--group', type=int, default=None,
                    help='directory mode: cross-song patch batching — '
-                        'stack N consecutive equal-length (bucketed) '
-                        'songs into one merged model stream per device '
-                        'dispatch; raises device utilization at wide '
-                        '--cropsize where one song has few patches')
+                        'stack N equal-length (bucketed) songs into one '
+                        'merged model stream per device dispatch; '
+                        'raises device utilization at wide --cropsize '
+                        'where one song has few patches (directory-mode '
+                        'default: 8; pass 1 to disable). Leftover '
+                        'partial groups run per-song, so ragged tails '
+                        'cost no padding work')
     p.add_argument('--data_parallel', type=int, default=1,
                    help='shard the patch axis of each song over an '
                         'N-device mesh (0 = all local devices; '
@@ -170,6 +182,20 @@ def _run_batch(args, model, variables):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # Unset performance flags resolve per mode: single-file mode keeps
+    # the reference's faithful defaults (crop 256 / batch 4 / f32);
+    # directory mode is the serving path and defaults to the measured-
+    # fastest configuration (wide crop + grouped patch batching + the
+    # bf16 serving transform — BENCH_NOTES.md round 3/4).
+    dir_mode = args.input_dir is not None
+    if args.cropsize is None:
+        args.cropsize = 1024 if dir_mode else 256
+    if args.batchsize is None:
+        args.batchsize = 24 if dir_mode else 4
+    if args.group is None:
+        args.group = 8 if (dir_mode and args.data_parallel == 1) else 1
+    if args.precision is None:
+        args.precision = 'bfloat16' if dir_mode else 'highest'
     from vocal_remover_tpu import enable_compile_cache
 
     enable_compile_cache()
@@ -180,7 +206,12 @@ def main(argv=None):
     from vocal_remover_tpu.separate.separator import Separator
     from vocal_remover_tpu.utils import audio, image, spec
 
-    nn_config.set_precision(args.precision)
+    # 'int8' is a serving-variables transform (quantized conv kernels
+    # dispatched per-leaf by nn/functional.conv2d); the surrounding
+    # activations run in bf16 compute mode
+    nn_config.set_precision(
+        'bfloat16' if args.precision == 'int8' else args.precision
+    )
     nn_config.set_lstm_impl(args.lstm_impl)
 
     with _stage('load model'):
@@ -201,14 +232,15 @@ def main(argv=None):
                 args.pretrained_model, args.n_fft, args.hop_length, 32,
                 128,
             )
-            if args.precision == 'bfloat16':
+            if args.precision in ('bfloat16', 'int8'):
                 # serving transform: eval-BN folding + bf16-resident
                 # weights (halves weight HBM traffic; pairs with bf16
-                # activations)
+                # activations); int8 additionally quantizes the conv
+                # stack to per-channel int8 MXU kernels
                 from vocal_remover_tpu.models import serving
 
                 variables = serving.serving_variables(
-                    variables, 'bfloat16'
+                    variables, args.precision
                 )
 
     if args.profile is not None:
