@@ -63,6 +63,16 @@ def build_parser():
                         'sketches this dormant at nets.py:83-84, '
                         'train.py:85-86; first-class here, end-to-end '
                         'through Separator)')
+    p.add_argument('--wave_loss', type=str, default=None,
+                   choices=['sdr', 'weighted_sdr'],
+                   help='add a wave-domain SDR loss through the device '
+                        'iSTFT (the reference defines these but leaves '
+                        'them commented out, train.py:46-65, 83-88). '
+                        'Requires --is_complex: magnitude batches carry '
+                        'no phase to invert')
+    p.add_argument('--wave_loss_weight', type=float, default=0.01,
+                   help='weight of the wave-domain loss term (the '
+                        "reference's commented-out factor, train.py:84)")
     p.add_argument('--debug', action='store_true')
     # TPU-native extensions
     p.add_argument('--data_parallel', type=int, default=1,
@@ -216,6 +226,8 @@ def main(argv=None):
         ),
         aux_lambda=args.aux_lambda,
         remat=args.remat,
+        wave_loss=args.wave_loss,
+        wave_loss_weight=args.wave_loss_weight,
     )
     scheduler = ReduceLROnPlateau(
         lr=args.learning_rate,

@@ -36,9 +36,25 @@ from vocal_remover_tpu.train.prefetch import device_prefetch
 class Trainer:
     def __init__(self, model, variables, learning_rate, accumulation_steps=1,
                  mesh=None, seed=0, dropout=True, transfer_dtype=None,
-                 prefetch=2, aux_lambda=0.0, remat=False):
+                 prefetch=2, aux_lambda=0.0, remat=False,
+                 wave_loss=None, wave_loss_weight=0.01):
         self.model = model
         self.accumulation_steps = accumulation_steps
+        # wave-domain auxiliary loss (the reference defines sdr_loss /
+        # weighted_sdr_loss but leaves them commented out, train.py:
+        # 46-65, 83-88): 'sdr' | 'weighted_sdr' adds
+        # `weight * loss(istft(y), istft(mask (*) X))` to the L1 term.
+        # Gradients flow through the device iSTFT. Complex models only
+        # (magnitude batches carry no phase to invert).
+        if wave_loss not in (None, "sdr", "weighted_sdr"):
+            raise ValueError(f"unknown wave_loss {wave_loss!r}")
+        if wave_loss is not None and not model.is_complex:
+            raise ValueError(
+                "wave_loss requires a complex-mask model (is_complex): "
+                "magnitude batches have no phase to invert to waves"
+            )
+        self.wave_loss = wave_loss
+        self.wave_loss_weight = float(wave_loss_weight)
         self.mesh = mesh
         self.dropout = dropout  # False => deterministic training (no dropout)
         # rematerialize band-net stages in backward (jax.checkpoint):
@@ -124,6 +140,30 @@ class Trainer:
             return losses.l1(pred_mag, y_mag)
         return losses.mask_l1_loss(mask, Xh, yh)
 
+    def _wave_loss_term(self, mask, Xh, yh):
+        """Wave-domain SDR loss through the device iSTFT (reference
+        train.py:83-88's commented-out intent made live)."""
+        mr, mi = mask[..., :2], mask[..., 2:]
+        xr, xi = Xh[..., :2], Xh[..., 2:]
+        pr = mr * xr - mi * xi
+        pi = mr * xi + mi * xr
+
+        def wave(re, im):
+            # (N, F, T, 2) -> (N, 2, F, T) -> batched iSTFT
+            return losses.to_wave(
+                jnp.transpose(re, (0, 3, 1, 2)),
+                jnp.transpose(im, (0, 3, 1, 2)),
+                self.model.n_fft, self.model.hop_length,
+            )
+
+        y_wave = wave(yh[..., :2], yh[..., 2:])
+        p_wave = wave(pr, pi)
+        if self.wave_loss == "weighted_sdr":
+            n_wave = wave(xr - yh[..., :2], xi - yh[..., 2:])
+            n_pred = wave(xr - pr, xi - pi)
+            return losses.weighted_sdr_loss(y_wave, p_wave, n_wave, n_pred)
+        return losses.sdr_loss(y_wave, p_wave)
+
     def _loss(self, params, stats, X, y, rng):
         variables = merge(params, stats)
         # host batches are (N, C, F, T) like the reference; go NHWC on device
@@ -145,6 +185,10 @@ class Trainer:
                 variables, Xh, train=True, rng=rng, remat=self.remat
             )
             loss = self._mask_loss(mask, Xh, yh)
+        if self.wave_loss is not None:
+            loss = loss + self.wave_loss_weight * self._wave_loss_term(
+                mask, Xh, yh
+            )
         _, new_stats = partition(new_vars)
         return loss, new_stats
 
