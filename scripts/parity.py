@@ -111,6 +111,9 @@ def main(argv=None):
                    help="MUSDB18-style mixture dir for the SDR harness")
     p.add_argument("--instruments", default=None)
     p.add_argument("--json", default=None, help="SDR report output path")
+    p.add_argument("--report", default=None,
+                   help="write the step-2 parity result (per-stem max "
+                        "delta + SNR dB, param count) as JSON")
     args = p.parse_args(argv)
 
     import torch
@@ -154,6 +157,7 @@ def main(argv=None):
     y_spec, v_spec = our_fn(X_spec)
 
     deltas = {}
+    snrs = {}
     ok = True
     for name, a_spec, b_spec in (
         ("Instruments", y_spec, y_ref_spec),
@@ -162,13 +166,37 @@ def main(argv=None):
         a = istft_np(a_spec, args.n_fft, args.hop_length, wave.shape[-1])
         b = istft_np(b_spec, args.n_fft, args.hop_length, wave.shape[-1])
         d = float(np.abs(a - b).max())
+        num = float(np.sum(b.astype(np.float64) ** 2))
+        den = float(np.sum((a - b).astype(np.float64) ** 2))
+        snr = float("inf") if den == 0 else 10.0 * np.log10(
+            num / max(den, 1e-300)
+        )
         deltas[name] = d
+        snrs[name] = snr
         ok &= d <= args.tolerance
         print(
-            f"[2/3] {name}: max wave delta {d:.3e} "
+            f"[2/3] {name}: max wave delta {d:.3e}  SNR {snr:.1f} dB "
             f"({'OK' if d <= args.tolerance else 'FAIL'}, "
             f"tolerance {args.tolerance:g})"
         )
+
+    if args.report:
+        import json as json_lib
+
+        from vocal_remover_tpu.models.cascaded import param_count
+
+        report = {
+            "checkpoint": args.checkpoint,
+            "param_count": param_count(variables),
+            "tolerance": args.tolerance,
+            "max_wave_delta": deltas,
+            "wave_snr_db": snrs,
+            "tta": bool(args.tta),
+            "ok": bool(ok),
+        }
+        with open(args.report, "w") as f:
+            json_lib.dump(report, f, indent=1)
+        print(f"[2/3] parity report -> {args.report}")
 
     # -- 3. SDR harness --------------------------------------------------
     if args.mixtures and args.instruments:
