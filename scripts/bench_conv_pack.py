@@ -27,8 +27,9 @@ SHAPES = (
     (8, 1024, 256, 32, 32, 1),    # enc1 conv2 class (the r03 hot shape)
     (8, 512, 128, 64, 64, 1),     # enc2 conv2
     (8, 1024, 256, 32, 64, 2),    # enc2 conv1 (strided)
+    (8, 512, 128, 64, 128, 2),    # enc3 conv1 (strided)
+    (8, 256, 64, 128, 128, 1),    # enc3 conv2
     (4, 1024, 1024, 32, 32, 1),   # wide-crop enc1 conv2
-    (8, 1024, 256, 32, 16, 1),    # 1x1-ish head class (as 3x3 16-out)
 )
 L = 6  # chain length
 

@@ -46,6 +46,10 @@ def main(argv=None):
         choices=["bfloat16", "int8"],
         help="serving weight transform: bf16-resident weights or the "
              "per-channel int8 conv stack (models/serving.quantize_int8)")
+    p.add_argument(
+        "--flat", action="store_true",
+        help="pixel-packed flat Pallas kernels for the band-net "
+             "enc1..enc3 convs (models/serving.pack_flat_encoders)")
     args = p.parse_args(argv)
     CONFIGS = DEFAULT_CONFIGS
     if args.configs:
@@ -74,7 +78,7 @@ def main(argv=None):
             (2, model.output_bin, 256, 2))).astype(np.float32) * 0.3]
     variables = serving.serving_variables(
         model.init(jax.random.PRNGKey(0)), args.dtype,
-        model=model, calibration_batches=cal,
+        model=model, calibration_batches=cal, flat=args.flat,
     )
 
     rng = np.random.default_rng(0)

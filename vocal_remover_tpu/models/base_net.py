@@ -48,11 +48,75 @@ class BaseNet:
             for name, k in zip(self._children, keys)
         }
 
+    # ------------------------------------------------------------------
+    # flat-packed encoder path (serving): enc1..enc3 as pixel-packed
+    # Pallas kernels chained flat-to-flat (nn/conv_pack.py) — the
+    # small-channel levels where XLA's NHWC conv runs the MXU at
+    # K = Cin. Weights are pre-packed by models/serving.
+    # pack_flat_encoders into v["flat_enc"]; enc4/enc5 stay on XLA
+    # (their packing transition is not block-uniform and their C fills
+    # the MXU anyway).
+    # ------------------------------------------------------------------
+
+    def _flat_p1(self):
+        return max(1, 128 // self.enc1.nout)
+
+    def _flat_supported(self, x_shape):
+        n, h, w, c = x_shape
+        p1 = self._flat_p1()
+        return (p1 >= 4 and w % p1 == 0 and (w // p1) % 8 == 0
+                and h % 4 == 0)
+
+    def _apply_encoders_flat(self, fenc, x):
+        import jax as _jax
+
+        from vocal_remover_tpu.nn import conv_pack as cp
+
+        interp = _jax.default_backend() == "cpu"
+        n, h, w, c = x.shape
+        p1 = self._flat_p1()
+        wb = w // p1  # invariant across levels (W and P halve together)
+
+        def layer(arrs, p_out, stride, act):
+            rowtaps, s_list = cp.flat_geometry(3, stride)
+            return {
+                "wst": arrs["wst"], "bias": arrs["bias"],
+                "rowtaps": rowtaps, "s_list": s_list,
+                "stride": stride, "act": act,
+                "p_in": p_out * stride, "p_out": p_out,
+            }
+
+        f1 = cp.to_flat(x, p1)  # x is e1 (C = nout: exactly 128 lanes)
+        f = cp.flat_layer_apply(
+            layer(fenc["enc2_conv1"], p1 // 2, 2, "leaky_relu"),
+            f1, h, wb, interpret=interp)
+        f2 = cp.flat_layer_apply(
+            layer(fenc["enc2_conv2"], p1 // 2, 1, "leaky_relu"),
+            f, h // 2, wb, interpret=interp)
+        f = cp.flat_layer_apply(
+            layer(fenc["enc3_conv1"], p1 // 4, 2, "leaky_relu"),
+            f2, h // 2, wb, interpret=interp)
+        f3 = cp.flat_layer_apply(
+            layer(fenc["enc3_conv2"], p1 // 4, 1, "leaky_relu"),
+            f, h // 4, wb, interpret=interp)
+
+        nout = self.enc1.nout
+        e2 = cp.from_flat(f2, h // 2, w // 2, 2 * nout)
+        e3 = cp.from_flat(f3, h // 4, w // 4, 4 * nout)
+        return e2, e3
+
     def apply(self, v, x, *, train=False, rng=None):
         nv = {}
-        e1, nv["enc1"] = self.enc1.apply(v["enc1"], x, train=train)
-        e2, nv["enc2"] = self.enc2.apply(v["enc2"], e1, train=train)
-        e3, nv["enc3"] = self.enc3.apply(v["enc3"], e2, train=train)
+        fenc = None if train else v.get("flat_enc")
+        if fenc is not None and self._flat_supported(x.shape):
+            e1, nv["enc1"] = self.enc1.apply(v["enc1"], x, train=False)
+            e2, e3 = self._apply_encoders_flat(fenc, e1)
+            nv["enc2"], nv["enc3"] = v["enc2"], v["enc3"]
+            nv["flat_enc"] = fenc
+        else:
+            e1, nv["enc1"] = self.enc1.apply(v["enc1"], x, train=train)
+            e2, nv["enc2"] = self.enc2.apply(v["enc2"], e1, train=train)
+            e3, nv["enc3"] = self.enc3.apply(v["enc3"], e2, train=train)
         e4, nv["enc4"] = self.enc4.apply(v["enc4"], e3, train=train)
         e5, nv["enc5"] = self.enc5.apply(v["enc5"], e4, train=train)
 

@@ -41,7 +41,8 @@ import numpy as np
 from vocal_remover_tpu.nn.functional import BN_EPS
 
 __all__ = ["fold_batch_norms", "cast_weights", "quantize_int8",
-           "calibrate_act_scales", "serving_variables"]
+           "calibrate_act_scales", "pack_flat_encoders",
+           "serving_variables"]
 
 
 def _identity_bn(bias, dtype=jnp.float32):
@@ -133,6 +134,8 @@ def cast_weights(variables, dtype=jnp.bfloat16):
             # int8-quantized conv leaf: values stay int8, the
             # weight/activation scales stay f32
             return node
+        if "flat_enc" in path and path[-1] == "bias":
+            return node  # flat-kernel bias adds in f32
         return jnp.asarray(node, dtype)
 
     return walk(variables)
@@ -220,8 +223,65 @@ def quantize_int8(variables, act_scales=None):
     return walk(variables)
 
 
+def pack_flat_encoders(variables, model):
+    """Attach pixel-packed encoder weights (nn/conv_pack.py) to every
+    BaseNet subtree of a BN-FOLDED variable tree.
+
+    Each band net's enc1..enc3 (the small-channel levels where XLA's
+    NHWC conv runs the MXU at K = Cin) gains a `flat_enc` sub-dict of
+    {"wst", "bias"} arrays; BaseNet.apply picks them up in eval mode
+    and runs those six convs as flat-to-flat Pallas kernels (measured
+    4.7x the XLA conv rate on the hot shapes, BENCH_NOTES round 4).
+    enc4/enc5 keep the XLA path: their stride-2 packing transition is
+    not block-uniform (cout != 2*cin) and their channel width already
+    fills the MXU.
+
+    Call on fold_batch_norms output (the bias is read from the
+    identity-BN shift). Pure pytree transform; checkpoints and the
+    torch converter are unaffected.
+    """
+    from vocal_remover_tpu.models.base_net import BaseNet
+    from vocal_remover_tpu.nn import conv_pack as cp
+
+    def pack(block, p_out, stride, act):
+        lay = cp.build_flat_layer(
+            np.asarray(block["conv"], np.float32),
+            np.asarray(block["bn"]["bias"], np.float32),
+            p_out, stride, act=act,
+        )
+        return {"wst": jnp.asarray(lay["wst"]),
+                "bias": jnp.asarray(lay["bias"])}
+
+    out = dict(variables)
+    for name in getattr(model, "_children", ()):
+        mod = getattr(model, name, None)
+        if not isinstance(mod, BaseNet):
+            continue
+        p1 = max(1, 128 // mod.enc1.nout)
+        if p1 < 4:  # enc3 needs p1//4 >= 1
+            continue
+        sub = dict(out[name])
+        sub["flat_enc"] = {
+            # enc1 stays on XLA: its tiny-C input needs lane padding
+            # and its full-res output is a decoder skip, so running it
+            # flat costs two of the most expensive boundary relayouts
+            # (measured a net loss, BENCH_NOTES round 4); the flat
+            # chain enters at e1, whose lanes are exactly 128
+            "enc2_conv1": pack(sub["enc2"]["conv1"], p1 // 2, 2,
+                               "leaky_relu"),
+            "enc2_conv2": pack(sub["enc2"]["conv2"], p1 // 2, 1,
+                               "leaky_relu"),
+            "enc3_conv1": pack(sub["enc3"]["conv1"], p1 // 4, 2,
+                               "leaky_relu"),
+            "enc3_conv2": pack(sub["enc3"]["conv2"], p1 // 4, 1,
+                               "leaky_relu"),
+        }
+        out[name] = sub
+    return out
+
+
 def serving_variables(variables, dtype=None, model=None,
-                      calibration_batches=None):
+                      calibration_batches=None, flat=False):
     """fold_batch_norms + optional weight transform in one call (the
     serving pipelines' standard transform). dtype: None keeps f32
     weights, 'bfloat16'/jnp.bfloat16 casts them, 'int8' quantizes the
@@ -231,8 +291,20 @@ def serving_variables(variables, dtype=None, model=None,
     For int8, pass `model` + `calibration_batches` (NHWC magnitude
     arrays) to calibrate static activation scales — without them the
     graph falls back to per-dispatch dynamic quantization (slower:
-    one extra reduction pass per conv)."""
+    one extra reduction pass per conv).
+
+    flat=True (requires `model`, float dtypes only): additionally
+    attach pixel-packed enc1..enc3 weights so eval forwards run those
+    convs as flat-layout Pallas kernels (pack_flat_encoders)."""
     v = fold_batch_norms(variables)
+    if flat:
+        if dtype == "int8":
+            raise ValueError("flat packing and int8 are exclusive "
+                             "serving transforms")
+        if model is None:
+            raise ValueError("flat packing needs the model for the "
+                             "per-net channel plan")
+        v = pack_flat_encoders(v, model)
     if dtype == "int8":
         act_scales = None
         if model is not None and calibration_batches is not None:
