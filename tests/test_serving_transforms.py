@@ -165,3 +165,20 @@ def test_int8_static_calibration(setup):
         out = np.asarray(model(v8, x)).astype(np.float32)
     snr = _snr_db(ref, out)
     assert snr >= 40.0, f"calibrated int8 mask SNR {snr:.1f} dB < 40 dB"
+
+
+def test_flat_encoder_serving_parity(setup):
+    """serving_variables(flat=True): the pixel-packed enc2..enc3 flat
+    kernels (nn/conv_pack.py) reproduce the XLA eval forward exactly
+    (same f32 arithmetic, different schedule)."""
+    from vocal_remover_tpu.models.serving import serving_variables
+
+    model, variables, x = setup
+    ref = np.asarray(model(serving_variables(variables, None), x))
+    vf = serving_variables(variables, None, model=model, flat=True)
+    assert any(
+        "flat_enc" in vf.get(name, {})
+        for name in model._children
+    )
+    out = np.asarray(model(vf, x))
+    assert np.abs(out - ref).max() < 2e-5

@@ -72,6 +72,14 @@ def build_parser():
     p.add_argument('--lstm_impl', type=str, default='scan',
                    choices=['scan', 'pallas'],
                    help='pallas = fused TPU recurrence kernel')
+    p.add_argument('--flat_conv', action='store_true',
+                   help='run the band-net enc2..enc3 convs as pixel-'
+                        'packed flat Pallas kernels (nn/conv_pack.py). '
+                        'Exact parity with the XLA forward; measured '
+                        'slower end-to-end on the flagship geometry '
+                        '(boundary relayouts outweigh the kernel win, '
+                        'BENCH_NOTES round 4) — opt-in for geometries '
+                        'where the balance differs')
     p.add_argument('--profile', type=str, default=None, metavar='DIR',
                    help='capture a jax.profiler trace of the separation '
                         'into DIR (view with tensorboard/xprof)')
@@ -232,7 +240,7 @@ def main(argv=None):
                 args.pretrained_model, args.n_fft, args.hop_length, 32,
                 128,
             )
-            if args.precision in ('bfloat16', 'int8'):
+            if args.precision in ('bfloat16', 'int8') or args.flat_conv:
                 # serving transform: eval-BN folding + bf16-resident
                 # weights (halves weight HBM traffic; pairs with bf16
                 # activations); int8 additionally quantizes the conv
@@ -240,7 +248,10 @@ def main(argv=None):
                 from vocal_remover_tpu.models import serving
 
                 variables = serving.serving_variables(
-                    variables, args.precision
+                    variables,
+                    args.precision if args.precision != 'highest'
+                    else None,
+                    model=model, flat=args.flat_conv,
                 )
 
     if args.profile is not None:
