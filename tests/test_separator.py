@@ -276,7 +276,8 @@ def test_separate_waves_pcm16(pair):
 
 def test_service_group_matches_per_song(pair):
     """group=N service: same outputs and order as group=1, including a
-    length-change flush and a repeat-padded final partial group."""
+    lone odd-length song and a final partial group (both run through
+    the exact per-song path — no repeat padding)."""
     from vocal_remover_tpu.separate.service import SeparatorService
 
     _, jmod, v = pair
@@ -293,5 +294,52 @@ def test_service_group_matches_per_song(pair):
     outsg = list(svcg.map(songs))
     assert len(outsg) == len(outs1) == len(songs)
     for (y1, v1), (yg, vg) in zip(outs1, outsg):
+        assert np.abs(yg.astype(np.int32) - y1.astype(np.int32)).max() <= 1
+        assert np.abs(vg.astype(np.int32) - v1.astype(np.int32)).max() <= 1
+
+
+def test_service_group_interleaved_lengths(pair):
+    """Length-bucketed grouping: interleaved lengths still form full
+    groups per bucket, and outputs come back in INPUT order."""
+    from vocal_remover_tpu.separate.service import SeparatorService
+
+    _, jmod, v = pair
+    sep = Separator(jmod, v, batchsize=2, cropsize=256)
+    a = list(_songs_stack(2, seconds=3.0))
+    b = list(_songs_stack(2, seconds=4.0))
+    songs = [a[0], b[0], a[1], b[1]]  # alternating lengths
+
+    svc1 = SeparatorService(sep, pcm16_io=True, vocals_residual=True,
+                            group=1)
+    svcg = SeparatorService(sep, pcm16_io=True, vocals_residual=True,
+                            group=2)
+    outs1 = list(svc1.map(songs))
+    outsg = list(svcg.map(songs))
+    assert len(outsg) == len(outs1) == len(songs)
+    for i, ((y1, v1), (yg, vg)) in enumerate(zip(outs1, outsg)):
+        assert yg.shape == songs[i].shape  # order preserved per length
+        assert np.abs(yg.astype(np.int32) - y1.astype(np.int32)).max() <= 1
+        assert np.abs(vg.astype(np.int32) - v1.astype(np.int32)).max() <= 1
+
+
+def test_service_group_max_pending_flush(pair):
+    """An adversarial length sequence (every song a new length) cannot
+    buffer unboundedly: buffers flush through the per-song path once
+    max_pending is exceeded, outputs still exact and in order."""
+    from vocal_remover_tpu.separate.service import SeparatorService
+
+    _, jmod, v = pair
+    sep = Separator(jmod, v, batchsize=2, cropsize=256)
+    songs = [synth_song(seconds=3.0 + 0.5 * i) for i in range(4)]
+
+    svc1 = SeparatorService(sep, pcm16_io=True, vocals_residual=True,
+                            group=1)
+    svcg = SeparatorService(sep, pcm16_io=True, vocals_residual=True,
+                            group=4, max_pending=2)
+    outs1 = list(svc1.map(songs))
+    outsg = list(svcg.map(songs))
+    assert len(outsg) == len(outs1) == len(songs)
+    for i, ((y1, v1), (yg, vg)) in enumerate(zip(outs1, outsg)):
+        assert yg.shape == songs[i].shape
         assert np.abs(yg.astype(np.int32) - y1.astype(np.int32)).max() <= 1
         assert np.abs(vg.astype(np.int32) - v1.astype(np.int32)).max() <= 1
