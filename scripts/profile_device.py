@@ -87,6 +87,13 @@ def main(argv=None):
     p.add_argument("--runs", type=int, default=4)
     p.add_argument("--precision", type=str, default="default")
     p.add_argument("--batchsize", type=int, default=8)
+    p.add_argument("--cropsize", type=int, default=256)
+    p.add_argument("--group", type=int, default=1,
+                   help="profile the merged multi-song stream "
+                        "(Separator._multiwave_fn) instead of one song")
+    p.add_argument("--serving", action="store_true",
+                   help="apply the bf16 serving transform first "
+                        "(profiles the bench.py grouped config)")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--mode", type=str, default="serve",
                    choices=["serve", "train"])
@@ -110,6 +117,10 @@ def main(argv=None):
     nn_config.set_precision(args.precision)
     model = CascadedNet(2048, 1024, 32, 128)
     variables = model.init(jax.random.PRNGKey(0))
+    if args.serving:
+        from vocal_remover_tpu.models import serving
+
+        variables = serving.serving_variables(variables, "bfloat16")
 
     rng = np.random.default_rng(0)
     wave = np.round(
@@ -119,9 +130,15 @@ def main(argv=None):
 
     if args.mode == "serve":
         sep = Separator(model, variables, batchsize=args.batchsize,
-                        cropsize=256)
-        run = sep._wave_fn(wave.shape[-1], False, True, True)
-        dev = jax.device_put(wave)
+                        cropsize=args.cropsize)
+        if args.group > 1:
+            stack = np.stack([wave] * args.group)
+            run = sep._multiwave_fn(args.group, wave.shape[-1], False,
+                                    True, True)
+            dev = jax.device_put(stack)
+        else:
+            run = sep._wave_fn(wave.shape[-1], False, True, True)
+            dev = jax.device_put(wave)
         np.asarray(run(dev, sep.variables)[0][:1, :1])  # compile + warm
         t0 = time.time()
         jax.profiler.start_trace(args.trace_dir)
@@ -131,9 +148,10 @@ def main(argv=None):
         np.asarray(out[0][:1, :1])
         jax.profiler.stop_trace()
         dt = time.time() - t0
-        print(f"{args.runs} songs in {dt:.2f}s "
-              f"({dt / args.runs * 1e3:.1f} ms/song, "
-              f"device xRT {args.runs * SECONDS / dt:.1f})")
+        songs = args.runs * args.group
+        print(f"{songs} songs in {dt:.2f}s "
+              f"({dt / songs * 1e3:.1f} ms/song, "
+              f"device xRT {songs * SECONDS / dt:.1f})")
     else:
         raise SystemExit("train mode: use scripts/bench_train.py --profile")
 
