@@ -553,15 +553,23 @@ class SbrData:
 
 @dataclass
 class Fil:
-    """fill_element carrying one extension_payload (§4.4.2.7)."""
+    """fill_element carrying one extension_payload (§4.4.2.7).
+
+    count_override shrinks/grows the advertised byte count (payload
+    truncated or zero-extended to fit) — the extraction rig uses this
+    to measure exactly how many bits the oracle consumes."""
     payload_bits: str = ""
     extension_type: int = EXT_SBR_DATA
+    count_override: int | None = None
 
     def write(self, w: BitWriter):
         # extension_payload: 4 type bits + payload, zero-padded to the
         # byte count in the FIL header
         nbits = 4 + len(self.payload_bits)
         count = (nbits + 7) // 8
+        if self.count_override is not None:
+            count = self.count_override
+        payload = self.payload_bits[:count * 8 - 4]
         w.put(6, 3)                  # id_syn_ele = FIL
         if count >= 15:
             w.put(15, 4)
@@ -569,8 +577,8 @@ class Fil:
         else:
             w.put(count, 4)
         w.put(self.extension_type, 4)
-        w.raw(self.payload_bits)
-        w.raw("0" * (count * 8 - nbits))
+        w.raw(payload)
+        w.raw("0" * (count * 8 - 4 - len(payload)))
 
 
 def sbr_fil(sbr: SbrData) -> Fil:

@@ -33,8 +33,12 @@ def mint(header: sb.SbrHeader, chans: list[sb.SbrChannel] | None = None,
          huff: dict | None = None):
     """Returns (heaac_bytes, lc_bytes, per-frame channel params)."""
     rng = np.random.default_rng(seed)
-    spec = lc.dense_spectrum(22050, core_lo, core_hi, rng=rng)
-    sce = lc.encode_sce(spec, 22050, global_gain=gg)
+    # per-frame varying spectra: a frame-periodic core makes waveform
+    # alignment ambiguous mod 2048 (correlation locks onto the wrong
+    # period) — vary the sign pattern every frame
+    sces = [lc.encode_sce(lc.dense_spectrum(22050, core_lo, core_hi,
+                                            rng=rng), 22050,
+                          global_gain=gg) for _ in range(7)]
     if chans is None:
         ft = header.tables(44100)
         chans = [sb.SbrChannel(
@@ -45,6 +49,7 @@ def mint(header: sb.SbrHeader, chans: list[sb.SbrChannel] | None = None,
     he, lco = [], []
     for i in range(nframes):
         ch = chans[i % len(chans)]
+        sce = sces[i % len(sces)]
         data = sb.SbrData(header=header, channels=[ch], fs_sbr=44100,
                           huff=huff or {})
         fil = sb.sbr_fil(data)

@@ -31,6 +31,7 @@ RATE = 2                  # QMF subsamples per core time slot
 SLOTS = 16                # core time slots per frame
 SUB = SLOTS * RATE        # 32 QMF subsamples per frame
 T_HFGEN = 8               # history subsamples kept for LPC/patching
+T_HFADJ = 6               # content delay vs the envelope timeline
 
 _QMF_WIN = None
 _NOISE = None
@@ -253,7 +254,12 @@ class SbrDecoder:
         return a0, a1
 
     def _hf_generate(self, x: np.ndarray, bw: np.ndarray) -> np.ndarray:
-        """x: (T_HFGEN + SUB, 32) low QMF; returns (SUB, 64) high."""
+        """x: (T_HFGEN + SUB, 32) low QMF buffer (8 history + 32
+        current); returns (SUB, 64) high content for buffer slots
+        [T_HFGEN - T_HFADJ, T_HFGEN - T_HFADJ + SUB) — the 6-slot
+        content delay window — patched with the CURRENT frame's
+        alphas/bw (pinned vs oracle: chirped modes regressed to ~21 dB
+        when the delayed slots kept the previous frame's alphas)."""
         ft = self.ft
         xh = np.zeros((T_HFGEN + SUB, 64), complex)
         # noise band of each QMF band m (absolute index kx+m)
@@ -270,13 +276,13 @@ class SbrDecoder:
                 q = noise_band(k)
                 b = bw[q]
                 a0, a1 = self._lpc(x, p) if b > 0 else (0.0, 0.0)
-                t = np.arange(T_HFGEN, T_HFGEN + SUB)
+                t = np.arange(T_HFGEN - T_HFADJ, T_HFGEN - T_HFADJ + SUB)
                 xh[t, k] = (x[t, p] + b * a0 * x[t - 1, p]
                             + b * b * a1 * x[t - 2, p])
                 k += 1
         if k != ft.kx + ft.m:
             raise AssertionError((k, ft.kx, ft.m))
-        return xh[T_HFGEN:]
+        return xh[T_HFGEN - T_HFADJ:T_HFGEN - T_HFADJ + SUB]
 
     # -- HF adjustment -----------------------------------------------
 
@@ -419,17 +425,26 @@ class SbrDecoder:
     # -- frame -------------------------------------------------------
 
     def frame(self, core_pcm: np.ndarray, ch: sb.SbrChannel) -> np.ndarray:
-        """core_pcm: 1024 samples -> 2048 upsampled samples."""
+        """core_pcm: 1024 samples -> 2048 upsampled samples.
+
+        The CONTENT pipeline (analysis output and the HF patched from
+        it) runs T_HFADJ = 6 slots behind the envelope/noise/synthesis
+        timeline — pinned against the oracle: a content-only alignment
+        probe lands at -384 samples while envelope-burst and pure-noise
+        probes land at 0 (a frame-periodic fixture hides this, which is
+        why sbr_dev_check mints per-frame-varying spectra)."""
         assert len(core_pcm) == 1024
         xa = self.qa.process(core_pcm)              # (32, 32)
         x = np.concatenate([self.st.x_hist, xa])    # (40, 32)
         self.st.x_hist = xa[-T_HFGEN:].copy()
         bw = self._chirp(ch)
-        xh = self._hf_generate(x, bw)               # (32, 64)
+        xh = self._hf_generate(x, bw)               # (32, 64), delayed
         y = self._adjust(xh, ch)
-        # synthesis input: low bands passthrough below kx, HF above
+        # synthesis input: low bands passthrough below kx (same 6-slot
+        # content delay), adjusted HF above
         Xs = np.zeros((SUB, 64), complex)
-        Xs[:, :self.ft.kx] = xa[:, :self.ft.kx]
+        Xs[:, :self.ft.kx] = x[T_HFGEN - T_HFADJ:
+                               T_HFGEN - T_HFADJ + SUB, :self.ft.kx]
         Xs[:, self.ft.kx:] = y[:, self.ft.kx:]
         return self.qs.process(Xs)
 
