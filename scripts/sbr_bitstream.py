@@ -324,13 +324,19 @@ class SbrHeader:
     limiter_gains: int = 2
     interpol_freq: int = 1
     smoothing_mode: int = 1          # 1 = no gain smoothing
+    force_extra1: bool = False       # write extra fields even when
+    force_extra2: bool = False       # they hold the defaults (+5/+6
+                                     # bit alignment shifters for the
+                                     # consumed-bits oracle)
 
     def defaults_extra1(self) -> bool:
-        return (self.freq_scale == 2 and self.alter_scale == 1
+        return (not self.force_extra1
+                and self.freq_scale == 2 and self.alter_scale == 1
                 and self.noise_bands == 2)
 
     def defaults_extra2(self) -> bool:
-        return (self.limiter_bands == 2 and self.limiter_gains == 2
+        return (not self.force_extra2
+                and self.limiter_bands == 2 and self.limiter_gains == 2
                 and self.interpol_freq == 1 and self.smoothing_mode == 1)
 
     def write(self, w: BitWriter):
@@ -494,6 +500,7 @@ class SbrData:
     fs_sbr: int = 44100
     send_header: bool = True
     coupling: bool = False
+    data_extra: bool = False         # +4 reserved bits (alignment)
     huff: dict = field(default_factory=dict)  # codebook name -> {val: bits}
 
     def write(self, w: BitWriter):
@@ -504,7 +511,11 @@ class SbrData:
         hf = self.huff
         if len(self.channels) == 1:
             (c,) = self.channels
-            w.put(0, 1)              # bs_data_extra
+            if self.data_extra:
+                w.put(1, 1)
+                w.put(0, 4)          # bs_reserved
+            else:
+                w.put(0, 1)          # bs_data_extra
             c.write_grid(w)
             c.write_dtdf(w)
             c.write_invf(w, ft.n_q)

@@ -284,69 +284,82 @@ def _payload_bits(rig, ch: sb.SbrChannel, huff: dict) -> str:
     return "".join(w.bits)
 
 
-def consumed_delta(rig, ch: sb.SbrChannel, huff: dict):
-    """Exact parse-length oracle: advertise a FIL byte count derived
-    from a chosen number of AVAILABLE payload bits and find the
-    smallest `available` with no overread alarm — that equals the
-    exact number of bits the decoder consumes, so
-    delta = consumed - written (both signs, bit-exact)."""
-    base = _payload_bits(rig, ch, huff)
-    W = len(base)
+_SHIFT_COMBOS = [
+    # (force_extra1, force_extra2, data_extra) -> payload offset
+    (False, False, False),   # +0
+    (False, False, True),    # +4
+    (True, False, False),    # +5
+    (False, True, False),    # +6
+    (True, False, True),     # +9  (mod 8 = 1)
+    (False, True, True),     # +10 (mod 8 = 2)
+    (True, True, False),     # +11 (mod 8 = 3)
+    (True, True, True),      # +15 (mod 8 = 7)
+]
 
-    def alarm(avail_bits: int) -> bool:
-        count = -(-(avail_bits + 4) // 8)
-        # pad so byte-rounding can't grant extra readable bits beyond
-        # avail? byte granularity is inherent: choose count so that
-        # count*8-4 == the avail we want; only multiples land exactly
-        fil = sb.Fil(payload_bits=base, count_override=count)
-        stream = b"".join(
-            adts_frame([rig.sces[i % len(rig.sces)], fil], sr=22050)
-            for i in range(3))
-        pcm, bad = rig.decode(stream)
-        return bool(bad) or pcm is None
 
-    # available bits for count c = 8c - 4: granularity 8.  Find the
-    # smallest count with no alarm, then refine within the byte by
-    # shifting the whole payload with a leading pad inserted BEFORE
-    # the sbr data?  The sbr payload cannot be pre-padded, so instead
-    # shift with trailing pad on a one-byte-larger count: consumed C
-    # is fixed; alarm(count) iff C > 8*count - 4.
-    c_lo = max(1, (W - 10 + 4 + 7) // 8)
-    c_hi = (W + 14 + 4 + 7) // 8
-    prev = None
-    boundary = None
-    for c in range(c_lo, c_hi + 1):
-        a = alarm(8 * c - 4)
-        if prev is True and not a:
-            boundary = c
-            break
-        if prev is None and not a:
-            boundary = c            # may be below window; flag wide
-            break
-        prev = a
-    if boundary is None:
-        return None
-    # C in (8*(boundary-1)-4, 8*boundary-4]
-    lo = 8 * (boundary - 1) - 4 + 1
-    hi = 8 * boundary - 4
-    # refine to 1 bit: move the candidate's own position by writing
-    # k extra pad bits BEFORE the FIL inside the raw_data_block?  The
-    # FIL payload position is byte-aligned anyway; instead leverage a
-    # variable-length known field: add k bits to the payload START by
-    # toggling bs_data_extra (4 reserved bits) — coarse.  Cheaper: the
-    # padding trick — append k pad bits to the payload and re-ask with
-    # the same count: available stays 8*boundary-4, consumed stays C:
-    # no new information.  Use instead k leading ZERO-pad inside the
-    # envelope: not expressible.  So: shift W by appending a SECOND
-    # sbr frame?  Keep it simple: scan exact C by binary search over
-    # available using counts one byte up with truncation:
-    # alarm(avail) for avail in [lo..hi] requires sub-byte counts,
-    # which the FIL cannot express.  Sub-byte resolution comes from
-    # varying W itself: the caller compares candidates of adjacent
-    # lengths against each other, all measured with the same byte
-    # oracle, so equal-C candidates share a boundary.  Return the
-    # byte-window of C relative to W.
-    return (lo - W, hi - W)
+def exact_consumed(rig, ch: sb.SbrChannel, huff: dict,
+                   hdr: sb.SbrHeader | None = None):
+    """Measure EXACTLY how many payload bits the oracle consumes for
+    this sbr_data.  ffmpeg alarms iff ceil((C+4)/8) > advertised FIL
+    byte count; sweeping the advertised count locates C within a byte,
+    and re-running with header/data_extra alignment shifters (+4/+5/+6
+    bits and sums, all semantically neutral) moves the byte grid to
+    every residue, intersecting the windows down to one integer.
+    Returns C for the UNSHIFTED layout, or None when inconsistent."""
+    import dataclasses
+    # parse lengths don't depend on the limiter fields, so use a
+    # default-extras header (same grid fields) — that makes the
+    # force_extra1/2 flags real +5/+6 shifters
+    base_hdr = dataclasses.replace(
+        hdr or rig.hdr, limiter_bands=2, limiter_gains=2,
+        interpol_freq=1, smoothing_mode=1,
+        force_extra1=False, force_extra2=False)
+    from aac_bitstream import BitWriter
+    w0 = BitWriter()
+    sb.SbrData(header=base_hdr, channels=[ch], fs_sbr=44100,
+               huff=huff).write(w0)
+    w_base = len("".join(w0.bits))
+    lo_c, hi_c = None, None
+    for e1, e2, de in _SHIFT_COMBOS:
+        h = dataclasses.replace(base_hdr, force_extra1=e1,
+                                force_extra2=e2)
+        data = sb.SbrData(header=h, channels=[ch], fs_sbr=44100,
+                          data_extra=de, huff=huff)
+        w = BitWriter()
+        data.write(w)
+        payload = "".join(w.bits)
+        W = len(payload)
+        offset = W - w_base
+
+        def alarm(count: int) -> bool:
+            fil = sb.Fil(payload_bits=payload, count_override=count)
+            stream = b"".join(
+                adts_frame([rig.sces[i % len(rig.sces)], fil],
+                           sr=22050) for i in range(3))
+            pcm, bad = rig.decode(stream)
+            return bool(bad) or pcm is None
+
+        cbase = -(-(W + 4) // 8)
+        cstar = None
+        for c in range(max(1, cbase - 2), cbase + 4):
+            if not alarm(c):
+                # confirm the previous count alarms (well-formed
+                # boundary) unless we are at the scan start
+                if c == max(1, cbase - 2) or alarm(c - 1):
+                    cstar = c
+                break
+        if cstar is None:
+            return None
+        # C + offset in (8*(cstar-1) - 4, 8*cstar - 4]
+        lo = 8 * (cstar - 1) - 4 + 1 - offset
+        hi = 8 * cstar - 4 - offset
+        lo_c = lo if lo_c is None else max(lo_c, lo)
+        hi_c = hi if hi_c is None else min(hi_c, hi)
+        if lo_c == hi_c:
+            return lo_c
+        if lo_c > hi_c:
+            return None
+    return lo_c if lo_c == hi_c else None
 
 
 class _AnyBits(dict):
@@ -365,81 +378,76 @@ class _AnyBits(dict):
         return self
 
 
-def measure_env_f(rig: Rig, bits: str, log=print):
-    """Adaptive delta measurement: coarse read, then re-probe with the
-    sentinel matched to the estimate so the ratio sits at the
-    calibrated zero-separation point.  A leaf needs TWO matched
-    probes at different absolute levels agreeing on the same integer
-    with intact sentinels.  Returns (delta_int | None, is_leaf)."""
-    est = None
-    for sent in (40, 52):
-        d, ok, bad = rig.probe_env_f(bits, 46, sent)
-        if d is not None and ok:
-            est = float(d)
-            break
-    if est is None:
-        return None, False
-    for _ in range(5):
-        tgt = int(round(est))
-        v0 = 46
-        if v0 + tgt > 61:
-            v0 = max(2, 61 - tgt)
-        if v0 + tgt < 2:
-            v0 = min(61, 2 - tgt)
-        sent = min(63, max(0, v0 + tgt))
-        d2, ok2, bad2 = rig.probe_env_f(bits, v0, sent)
-        if d2 is None or not ok2:
-            return None, False
-        if abs(d2 - est) < 0.3 and abs(d2 - round(d2)) < 0.3:
-            delta = int(round(d2))
-            # confirm at a shifted absolute level
-            v0c = v0 - 4 if v0 >= 8 else v0 + 4
-            sc = min(63, max(0, v0c + delta))
-            d3, ok3, bad3 = rig.probe_env_f(bits, v0c, sc)
-            if (d3 is not None and ok3
-                    and int(round(d3)) == delta
-                    and abs(d3 - round(d3)) < 0.35):
-                return delta, True
-            return None, False
-        est = float(d2)
-    return None, False
+def env_f_configs():
+    """Three channel configs with different trailing-field layouts:
+    a true codeword parses to delta 0 under all of them, while a
+    wrong-length candidate only coincidentally re-aligns under one."""
+    c1 = sb.SbrChannel(frame_class=sb.FIXVAR, num_env=2,
+                       freq_res=[1, 0], pointer=0, rel_bord_1=[8],
+                       df_env=[0, 0], df_noise=[0, 0], invf=[0],
+                       env_sf=[[46, 46], [44]], noise_sf=[[31], [31]])
+    c2 = sb.SbrChannel(frame_class=sb.FIXVAR, num_env=2,
+                       freq_res=[1, 0], pointer=0, rel_bord_1=[8],
+                       df_env=[0, 0], df_noise=[0, 0], invf=[0],
+                       env_sf=[[46, 46], [21]], noise_sf=[[5], [26]],
+                       add_harmonic=[1, 0])
+    c3 = sb.SbrChannel(frame_class=sb.FIXVAR, num_env=2,
+                       freq_res=[1, 0], pointer=0, rel_bord_1=[8],
+                       df_env=[0, 0], df_noise=[0, 0], invf=[0],
+                       env_sf=[[46, 46], [52]], noise_sf=[[18], [9]])
+    return [c1, c2, c3]
 
 
-def walk(rig: Rig, measure, state: dict, name: str, log=print,
-         max_depth: int = 20):
-    """Breadth-first code-tree walk with leaf test + value readback.
-    Resumable via `state` (JSON-serializable)."""
-    tbl = state.setdefault(name, {})
-    done = state.setdefault(name + "_done", [])
+def is_leaf_exact(rig, bits: str, key: str = "f_env") -> bool:
+    from aac_bitstream import BitWriter
+    for ch in env_f_configs():
+        huff = {key: _AnyBits(bits)}
+        w = BitWriter()
+        import dataclasses
+        h = dataclasses.replace(rig.hdr, limiter_bands=2,
+                                limiter_gains=2, force_extra1=False,
+                                force_extra2=False)
+        sb.SbrData(header=h, channels=[ch], fs_sbr=44100,
+                   huff=huff).write(w)
+        W = len("".join(w.bits))
+        C = exact_consumed(rig, ch, huff)
+        if C is None or C != W:
+            return False
+    return True
+
+
+def walk_lengths(rig, state: dict, name: str, key: str = "f_env",
+                 log=print, max_depth: int = 20):
+    """Recover the code TREE (all codewords) via the exact
+    consumed-bits oracle; values are assigned in a separate pass."""
+    words = state.setdefault(name + "_words", [])
     frontier = state.setdefault(name + "_frontier", ["0", "1"])
+    kraft = sum(2.0 ** -len(b) for b in words)
     while frontier:
         bits = frontier.pop(0)
         if len(bits) > max_depth:
-            log(f"  abandon {bits} (depth)")
+            log(f"  abandon {bits}")
             continue
-        delta, leaf = measure(rig, bits, log=log)
-        if leaf:
-            key = str(delta)
-            if key in tbl and tbl[key] != bits:
-                log(f"  CONFLICT {bits} vs {tbl[key]} for {key}")
-            tbl[key] = bits
-            kraft = sum(2.0 ** -len(b) for b in tbl.values())
-            log(f"  leaf {bits} -> {delta:+d}  (kraft {kraft:.6f}, "
-                f"n={len(tbl)})")
+        if is_leaf_exact(rig, bits, key):
+            words.append(bits)
+            kraft += 2.0 ** -len(bits)
+            log(f"  leaf {bits}  (kraft {kraft:.8f}, n={len(words)})")
             if abs(kraft - 1.0) < 1e-12:
-                log("  codespace complete")
                 frontier.clear()
+                log("  codespace complete")
                 break
         else:
             frontier.append(bits + "0")
             frontier.append(bits + "1")
         save_state(state)
-    return tbl
+    return words
 
 
 def save_state(state: dict):
-    with open(STATE, "w") as f:
+    tmp = STATE + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(state, f, indent=1, sort_keys=True)
+    os.replace(tmp, STATE)
 
 
 def load_state() -> dict:
@@ -457,5 +465,5 @@ if __name__ == "__main__":
     state = load_state()
     if args.table == "f_env_3":
         rig = Rig(amp_res=1)
-        tbl = walk(rig, measure_env_f, state, "f_env_3")
-        print(json.dumps(tbl, sort_keys=True, indent=1))
+        words = walk_lengths(rig, state, "f_env_3")
+        print(json.dumps(sorted(words, key=len)))
