@@ -1,29 +1,51 @@
-"""Probe-extract the SBR Huffman codebooks from the system libav
+"""Probe-extract the 10 SBR Huffman codebooks from the system libav
 decoder — codeword by codeword, like scripts/aac_extract_tables.py did
-for the LC books and scripts/mp3_extract_tables.py for mp3.
+for the LC books and scripts/mp3_extract_tables.py for mp3.  No
+decoder source is consulted; everything is measured behaviorally.
 
-Method: mint an HE-AAC stream whose sbr_envelope carries exactly ONE
-Huffman codeword (a 2-band envelope: raw start value + one freq
-delta), with the candidate bitstring in the delta position.  The
-envelope dequantization E = 2^(sf/a) makes the decoded delta readable
-from the output band-energy ratio, and a raw-coded SENTINEL value in
-the following envelope detects any parse-length mismatch: if the
-candidate is not a complete codeword (or is longer than the decoder
-consumed), every following field shifts and the sentinel scrambles.
-Walking the binary code tree breadth-first with this leaf test
-recovers the complete codebook; Kraft-sum accounting proves coverage.
+Two bit-exact oracles drive the extraction:
 
-The extracted tables are verified in-loop (every codeword re-probed
-with a second sentinel) and then baked into native/aacdec.c.
+1. **Codeword discovery** (`exact_consumed`): mint an sbr_data whose
+   single Huffman slot carries a 24-bit candidate string S = (free
+   code-tree path) + zeros, with every field after the slot written as
+   zeros.  Because an all-zeros tail parses to the same fixed shape at
+   ANY bit alignment (raw starts 0, flags 0), the decoder's total
+   consumed bit count C obeys C - W = L - 24 where W is the written
+   payload length and L the length of the codeword at the start of S.
+   C is pinned exactly by sweeping the advertised FIL byte count
+   (ffmpeg alarms iff the parse overruns it) under semantically
+   neutral alignment shifters covering every residue mod 8.  One probe
+   therefore discovers one complete codeword; the walk repeats from
+   the next free path until the Kraft sum reaches exactly 1.
 
-Time-direction books (t_huffman_*) use df_env=1 envelopes whose values
-are time-deltas against a raw-coded first envelope; noise books use
-the two noise floors of a num_env=2 frame.  Balance books use coupled
-CPEs (see extract with balance=True).
+2. **Value assignment**: libav validates decoded scalefactors at
+   parse/dequant time — envelope values >= 61 (3.0 dB) / >= 121
+   (1.5 dB) log "envelope scalefactor overflow in dequant" (frame
+   survives), negative values wrap unsigned and hard-error
+   ("env_facs_q 255 is invalid"), and huffman-decoded noise values
+   outside [0, 30] hard-error (thresholds measured empirically with
+   raw-only streams).  Writing envelope 1 as a raw start v0 and the
+   candidate codeword as the sole delta makes the decoded value
+   v0 + d, so binary-searching v0 against those alarms yields the
+   exact integer d.  Positive noise / balance values (no usable upper
+   alarm) are paired with already-assigned negative codewords so the
+   running value crosses zero instead.
+
+Extraction order matters: the plain envelope books come first because
+the t/f/noise/balance rigs reuse their known codewords as alignment
+shifters and chain ballast.  The state file survives interruption;
+`--verify` re-probes every (codeword, value) pair.
+
+The extracted tables are baked into native/aacdec.c by
+scripts/sbr_extract_tables.py.  Reference context: the upstream
+project decodes HE-AAC through librosa -> audioread -> ffmpeg
+(reference inference.py:136-138); these tables close that gap for the
+native decoder.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -35,322 +57,140 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import aac_lc_encode as lc
 import aac_oracle
 import sbr_bitstream as sb
-from aac_bitstream import CPE, adts_frame
+from aac_bitstream import CPE, BitWriter, adts_frame
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 STATE = os.path.join(_HERE, "sbr_huff_state.json")
 
-NFRAMES = 8
-SKIP = 2          # settle frames before measuring
+OK, OVF, ERR = "ok", "ovf", "err"
+
+# Empirical alarm thresholds (measured by raw-value sweeps, see
+# module docstring): envelope dequant warning fires iff value >= this.
+ENV_OVF_AT = {1: 61, 0: 121}
+ENV_START_BITS = {1: 6, 0: 7}        # non-balance raw start width
+NOISE_INVALID_AT = 31                # huffman-decoded noise >= 31 errors
 
 
-def _header(amp_res: int) -> sb.SbrHeader:
-    # limiter off + unlimited gains: band-energy ratios then read the
-    # envelope deltas directly (the limiter couples bands otherwise)
-    return sb.SbrHeader(amp_res=amp_res, start_freq=14, stop_freq=5,
-                        xover_band=0, limiter_bands=0, limiter_gains=3)
+class Seq(dict):
+    """Huffman codebook stand-in that returns scripted bit strings in
+    write order, ignoring the requested delta (the rig controls the
+    written values, so the script IS the intended sequence)."""
+
+    def __init__(self, seq):
+        super().__init__()
+        self.seq = list(seq)
+        self.i = 0
+
+    def __getitem__(self, key):
+        b = self.seq[self.i]
+        self.i += 1
+        return b
+
+    def get(self, key, default=None):
+        return self
 
 
 class Rig:
-    def __init__(self, amp_res: int = 1):
-        self.hdr = _header(amp_res)
-        self.ft = self.hdr.tables(44100)
-        self.amp = amp_res
-        assert self.ft.n_high == 2 and self.ft.n_low == 1
+    """Minting + classified decode against the libav oracle."""
+
+    def __init__(self):
         rng = np.random.default_rng(0)
         self.sces = [lc.encode_sce(
             lc.dense_spectrum(22050, 200, 9000, rng=rng), 22050,
-            global_gain=170) for _ in range(4)]
+            global_gain=170) for _ in range(2)]
         aac_oracle.log_capture(True)
-        f0, f1, f2 = (self.ft.high[j] * 44100 / 128 for j in range(3))
-        self.bands = (f0, f1, f2)
-        # interior QMF subbands of each envelope band: the kx edge and
-        # the SBR top edge roll off and bias whole-band sums
-        sb_w = 44100 / 128.0
-        self.int1 = ((self.ft.high[0] + 1) * sb_w, self.ft.high[1] * sb_w)
-        self.int2 = (self.ft.high[1] * sb_w, (self.ft.high[2] - 1) * sb_w)
-        self._delta_bias = None
+        self.decodes = 0
 
-    def delta_bias(self) -> float:
-        """Constant band2/band1 readback bias (top-edge rolloff),
-        calibrated with a Huffman-free single-band envelope."""
-        if self._delta_bias is None:
-            ch = sb.SbrChannel(num_env=2, freq_res=[0, 0],
-                               df_env=[0, 0], df_noise=[0, 0], invf=[0],
-                               env_sf=[[45], [45]],
-                               noise_sf=[[31], [31]])
-            pcm, _ = self.decode(self.mint(ch, {}))
-            e1 = self.band_energy(pcm, *self.int1, 0)
-            e2 = self.band_energy(pcm, *self.int2, 0)
-            self._delta_bias = float(np.log2(e2 / e1)
-                                     * self._sf_scale())
-        return self._delta_bias
+    def header(self, amp: int) -> sb.SbrHeader:
+        return sb.SbrHeader(amp_res=amp, start_freq=14, stop_freq=5,
+                            xover_band=0, limiter_bands=0,
+                            limiter_gains=3)
 
-    # -- stream builders ----------------------------------------------
-
-    def mint(self, ch: sb.SbrChannel, huff: dict) -> bytes:
+    def mint(self, data_factory, nframes: int, stereo: bool) -> bytes:
         out = []
-        for i in range(NFRAMES):
-            data = sb.SbrData(header=self.hdr, channels=[ch],
-                              fs_sbr=44100, huff=huff)
-            out.append(adts_frame(
-                [self.sces[i % len(self.sces)], sb.sbr_fil(data)],
-                sr=22050))
+        for i in range(nframes):
+            fil = sb.sbr_fil(data_factory())
+            if stereo:
+                cpe = CPE(left=self.sces[i % 2], right=self.sces[i % 2],
+                          ms_present=0)
+                out.append(adts_frame([cpe, fil], sr=22050,
+                                      channel_config=2))
+            else:
+                out.append(adts_frame([self.sces[i % 2], fil],
+                                      sr=22050))
         return b"".join(out)
 
-    def decode(self, stream: bytes):
+    def decode(self, stream: bytes) -> str:
+        self.decodes += 1
         aac_oracle.clear_log()
         try:
-            pcm, sr = aac_oracle.decode_bytes(stream, suffix=".aac")
+            aac_oracle.decode_bytes(stream, suffix=".aac")
         except RuntimeError:
-            return None, True
+            return ERR
         log = aac_oracle.last_log()
-        bad = ("Expected to read" in log or "rror" in log
-               or "nvalid" in log)
-        return pcm[:, 0], bad
-
-    # -- band-energy measurement --------------------------------------
-
-    def _sf_scale(self) -> float:
-        """sf units per log2 energy unit: amp_res=1 (3.0 dB) doubles
-        energy per sf step (scale 1); amp_res=0 (1.5 dB) takes two sf
-        steps per energy octave (scale 2). Verified by raw-value
-        sweeps against the oracle."""
-        return 1.0 if self.amp else 2.0
-
-    def band_energy(self, pcm, lo_hz, hi_hz, half):
-        """Mean energy of [lo_hz, hi_hz) over envelope `half` of each
-        frame.  The envelope timeline sits ~(T_HFADJ slots + synthesis
-        delay) after the frame start, so envelope 1 (slots 0-16) is
-        read at [512, 1280) and envelope 2 (slots 16-32) at
-        [1600, 2368) — the latter wraps into the next frame (measured
-        empirically with a raw-value sweep)."""
-        tot = 0.0
-        n = 0
-        # windows sit >= 320 samples clear of the envelope borders
-        # (384/1408/2432): the 640-tap synthesis window otherwise
-        # leaks the loud envelope into the quiet one and floors the
-        # dynamic range at ~14 log2E (measured); border-clear windows
-        # reach ~31 log2E
-        lo_off = 704 if half == 0 else 1728
-        for f in range(SKIP, NFRAMES - 1):
-            a = 2048 * f + lo_off
-            seg = pcm[a:a + 384]
-            if len(seg) < 384:
-                continue
-            X = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
-            fr = np.fft.rfftfreq(len(seg), 1 / 44100.0)
-            tot += X[(fr >= lo_hz) & (fr < hi_hz)].sum()
-            n += 1
-        return tot / max(n, 1)
-
-    # -- envelope freq-delta probe -------------------------------------
-
-    def probe_env_f(self, bits: str, v0: int, sentinel: int):
-        """FIXVAR grid [0, 8, 16]: envelope 1 is high-res 2-band
-        [v0, v0 + delta(bits)], envelope 2 is low-res single-band
-        raw `sentinel`.  The delta reads from envelope 1's band 2
-        against envelope 2's SAME subbands (adjacent in time, so no
-        cross-band rolloff enters), calibrated on the known '0'
-        codeword.  The sentinel reads from envelope 2's band-1
-        interior; a wrong-length candidate shifts its raw start and
-        scrambles it.  Returns (delta_float, sent_ok, parse_bad)."""
-        huff = {"f_env": _AnyBits(bits)}
-        ch = sb.SbrChannel(
-            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
-            pointer=0, rel_bord_1=[8],
-            df_env=[0, 0], df_noise=[0, 0], invf=[0],
-            env_sf=[[v0, v0], [sentinel]], noise_sf=[[31], [31]])
-        pcm, bad = self.decode(self.mint(ch, huff))
-        if pcm is None:
-            return None, False, True
-        e1a = self.band_energy(pcm, *self.int1, 0)
-        e1b = self.band_energy(pcm, *self.int2, 0)
-        e2a = self.band_energy(pcm, *self.int1, 1)
-        e2b = self.band_energy(pcm, *self.int2, 1)
-        if min(e1a, e1b, e2a, e2b) <= 0:
-            return None, False, True
-        sc = self._sf_scale()
-        delta = (np.log2(e1b / e2b) * sc + (sentinel - v0)
-                 - self._f_cal())
-        sent_meas = v0 + np.log2(e2a / e1a) * sc - self._s_cal()
-        sent_ok = abs(sent_meas - sentinel) < 1.6
-        return float(delta), bool(sent_ok), bool(bad)
-
-    _fcal = None
-    _scal = None
-
-    def _f_cal(self) -> float:
-        """Calibrate the probe_env_f expressions on the known
-        zero-delta codeword '0' (bootstrapped by hand)."""
-        if self._fcal is None:
-            self._fcal = 0.0
-            self._scal = 0.0
-            # calibrate at MATCHED separation (sentinel == v0): the
-            # time-step response has ~0.95 slope away from 0, so the
-            # calibration point must sit where probes are read
-            ch = sb.SbrChannel(
-                frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
-                pointer=0, rel_bord_1=[8],
-                df_env=[0, 0], df_noise=[0, 0], invf=[0],
-                env_sf=[[46, 46], [46]], noise_sf=[[31], [31]])
-            pcm, bad = self.decode(self.mint(ch,
-                                             {"f_env": _AnyBits("0")}))
-            assert pcm is not None and not bad
-            e1a = self.band_energy(pcm, *self.int1, 0)
-            e1b = self.band_energy(pcm, *self.int2, 0)
-            e2a = self.band_energy(pcm, *self.int1, 1)
-            e2b = self.band_energy(pcm, *self.int2, 1)
-            sc = self._sf_scale()
-            self._fcal = float(np.log2(e1b / e2b) * sc)
-            self._scal = float(np.log2(e2a / e1a) * sc)
-        return self._fcal
-
-    def _s_cal(self) -> float:
-        self._f_cal()
-        return self._scal
-
-    # -- envelope time-delta probe -------------------------------------
-
-    def probe_env_t(self, bits: str, v0: int, sentinel: int):
-        """Envelope 1: single band raw v0; envelope 2: df_env=1, its
-        single t-delta coded by `bits`; noise floor 2 raw = sentinel
-        (5-bit field after the envelope data)."""
-        ch = sb.SbrChannel(
-            num_env=2, freq_res=[0, 0], df_env=[0, 1], df_noise=[0, 0],
-            invf=[0], env_sf=[[v0], [0]],
-            noise_sf=[[31], [sentinel]])
-        stream = self.mint(ch, {"t_env": _AnyBits(bits)})
-        pcm, bad = self.decode(stream)
-        if pcm is None:
-            return None, False, True
-        f0, f1, f2 = self.bands
-        e1 = self.band_energy(pcm, f0, f2, 0)
-        e2 = self.band_energy(pcm, f0, f2, 1)
-        if e1 <= 0:
-            return None, False, True
-        delta = np.log2(max(e2, 1e-30) / e1) * self._sf_scale()
-        # sentinel: noise floor of half 2 — measured via noise energy
-        # with the envelope known; cheaper: re-use parse flag + a
-        # second sentinel probe at the caller level
-        return float(delta), True, bool(bad)
-
-    # -- noise time-delta probe -----------------------------------------
-
-    def probe_noise_t(self, bits: str, q0: int, sentinel: int):
-        """Noise floor 1 raw q0; noise floor 2 t-delta via `bits`.
-        Core content sits below the patch sources so the HF output is
-        noise-only; the add_harmonic flag bit after the noise data
-        doubles as a cheap shift detector via `sentinel` (0/1 choice
-        folded into env values instead)."""
-        ch = sb.SbrChannel(
-            num_env=2, freq_res=[0, 0], df_env=[0, 0],
-            df_noise=[0, 1], invf=[0],
-            env_sf=[[55], [sentinel]], noise_sf=[[q0], [0]])
-        stream = self.mint_quiet(ch, {"t_noise": _AnyBits(bits)})
-        pcm, bad = self.decode(stream)
-        if pcm is None:
-            return None, False, True
-        f0, f1, f2 = self.bands
-        e1 = self.band_energy(pcm, f0, f2, 0)
-        e2 = self.band_energy(pcm, f0, f2, 1)
-        if e1 <= 0:
-            return None, False, True
-        # noise energy ~ E * 2^(6-q): higher q -> less noise; envelope
-        # constant 55 both halves except sentinel in half 2
-        delta = -(np.log2(max(e2, 1e-30) / e1)
-                  - (sentinel - 55) / self._sf_scale() * 0)
-        return float(delta), True, bool(bad)
-
-    def mint_quiet(self, ch: sb.SbrChannel, huff: dict) -> bytes:
-        rng = np.random.default_rng(7)
-        sces = [lc.encode_sce(lc.dense_spectrum(22050, 300, 2000,
-                                                rng=rng), 22050,
-                              global_gain=165) for _ in range(4)]
-        out = []
-        for i in range(NFRAMES):
-            data = sb.SbrData(header=self.hdr, channels=[ch],
-                              fs_sbr=44100, huff=huff)
-            out.append(adts_frame([sces[i % len(sces)],
-                                   sb.sbr_fil(data)], sr=22050))
-        return b"".join(out)
+        if ("invalid" in log or "Expected to read" in log
+                or "rror" in log):
+            return ERR
+        if "overflow" in log:
+            return OVF
+        return OK
 
 
-def _payload_bits(rig, ch: sb.SbrChannel, huff: dict) -> str:
-    from aac_bitstream import BitWriter
-    w = BitWriter()
-    sb.SbrData(header=rig.hdr, channels=[ch], fs_sbr=44100,
-               huff=huff).write(w)
-    return "".join(w.bits)
+# ---------------------------------------------------------------------------
+# Oracle 1: exact consumed-bits measurement
 
 
-_SHIFT_COMBOS = [
-    # (force_extra1, force_extra2, data_extra) -> payload offset
-    (False, False, False),   # +0
-    (False, False, True),    # +4
-    (True, False, False),    # +5
-    (False, True, False),    # +6
-    (True, False, True),     # +9  (mod 8 = 1)
-    (False, True, True),     # +10 (mod 8 = 2)
-    (True, True, False),     # +11 (mod 8 = 3)
-    (True, True, True),      # +15 (mod 8 = 7)
-]
+def exact_consumed(rig: Rig, make_data, shifters, stereo=False):
+    """Exact payload parse length C for make_data(shift=0)'s layout.
 
-
-def exact_consumed(rig, ch: sb.SbrChannel, huff: dict,
-                   hdr: sb.SbrHeader | None = None):
-    """Measure EXACTLY how many payload bits the oracle consumes for
-    this sbr_data.  ffmpeg alarms iff ceil((C+4)/8) > advertised FIL
-    byte count; sweeping the advertised count locates C within a byte,
-    and re-running with header/data_extra alignment shifters (+4/+5/+6
-    bits and sums, all semantically neutral) moves the byte grid to
-    every residue, intersecting the windows down to one integer.
-    Returns C for the UNSHIFTED layout, or None when inconsistent."""
-    import dataclasses
-    # parse lengths don't depend on the limiter fields, so use a
-    # default-extras header (same grid fields) — that makes the
-    # force_extra1/2 flags real +5/+6 shifters
-    base_hdr = dataclasses.replace(
-        hdr or rig.hdr, limiter_bands=2, limiter_gains=2,
-        interpol_freq=1, smoothing_mode=1,
-        force_extra1=False, force_extra2=False)
-    from aac_bitstream import BitWriter
+    make_data(shift_idx) must return an SbrData whose written length
+    differs from shift 0 only by neutral, fully-consumed extra bits;
+    `shifters` is the list of shift indices (their offsets must cover
+    every residue mod 8 across the list).  ffmpeg alarms iff
+    ceil((C+4)/8) > the advertised FIL byte count, so each shifted
+    layout localizes C within a byte and the residues intersect the
+    windows to one integer.  Returns C or None when inconsistent."""
     w0 = BitWriter()
-    sb.SbrData(header=base_hdr, channels=[ch], fs_sbr=44100,
-               huff=huff).write(w0)
+    make_data(shifters[0]).write(w0)
     w_base = len("".join(w0.bits))
-    lo_c, hi_c = None, None
-    for e1, e2, de in _SHIFT_COMBOS:
-        h = dataclasses.replace(base_hdr, force_extra1=e1,
-                                force_extra2=e2)
-        data = sb.SbrData(header=h, channels=[ch], fs_sbr=44100,
-                          data_extra=de, huff=huff)
+    lo_c = hi_c = None
+    for s in shifters:
         w = BitWriter()
-        data.write(w)
+        make_data(s).write(w)
         payload = "".join(w.bits)
         W = len(payload)
         offset = W - w_base
 
         def alarm(count: int) -> bool:
             fil = sb.Fil(payload_bits=payload, count_override=count)
-            stream = b"".join(
-                adts_frame([rig.sces[i % len(rig.sces)], fil],
-                           sr=22050) for i in range(3))
-            pcm, bad = rig.decode(stream)
-            return bool(bad) or pcm is None
+            if stereo:
+                frames = b"".join(adts_frame(
+                    [CPE(left=rig.sces[i % 2], right=rig.sces[i % 2]),
+                     fil], sr=22050, channel_config=2)
+                    for i in range(3))
+            else:
+                frames = b"".join(
+                    adts_frame([rig.sces[i % 2], fil], sr=22050)
+                    for i in range(3))
+            return rig.decode(frames) == ERR
 
+        # find the smallest non-alarming count WITH a confirmed alarm
+        # at count-1 (C can sit well below W when the payload carries
+        # trailing candidate padding the parser never consumes)
         cbase = -(-(W + 4) // 8)
         cstar = None
-        for c in range(max(1, cbase - 2), cbase + 4):
-            if not alarm(c):
-                # confirm the previous count alarms (well-formed
-                # boundary) unless we are at the scan start
-                if c == max(1, cbase - 2) or alarm(c - 1):
-                    cstar = c
-                break
+        c = max(1, cbase - 5)
+        if alarm(c):
+            for cc in range(c + 1, cbase + 4):
+                if not alarm(cc):
+                    cstar = cc
+                    break
+        else:
+            while c > 1 and not alarm(c - 1):
+                c -= 1
+            cstar = c
         if cstar is None:
             return None
-        # C + offset in (8*(cstar-1) - 4, 8*cstar - 4]
         lo = 8 * (cstar - 1) - 4 + 1 - offset
         hi = 8 * cstar - 4 - offset
         lo_c = lo if lo_c is None else max(lo_c, lo)
@@ -362,85 +202,254 @@ def exact_consumed(rig, ch: sb.SbrChannel, huff: dict,
     return lo_c if lo_c == hi_c else None
 
 
-class _AnyBits(dict):
-    """Huffman dict stand-in returning the same candidate bits for
-    every requested delta (the probe controls the written values so
-    only one delta is ever requested)."""
-
-    def __init__(self, bits: str):
-        super().__init__()
-        self.bits = bits
-
-    def __getitem__(self, key):
-        return self.bits
-
-    def get(self, key, default=None):
-        return self
+# ---------------------------------------------------------------------------
+# Book rigs.  Each knows how to (a) write a discovery payload with the
+# candidate bits in its slot and zeros after, (b) write a value-probe
+# stream for alarm bisection.
 
 
-def env_f_configs():
-    """Three channel configs with different trailing-field layouts:
-    a true codeword parses to delta 0 under all of them, while a
-    wrong-length candidate only coincidentally re-aligns under one."""
-    c1 = sb.SbrChannel(frame_class=sb.FIXVAR, num_env=2,
-                       freq_res=[1, 0], pointer=0, rel_bord_1=[8],
-                       df_env=[0, 0], df_noise=[0, 0], invf=[0],
-                       env_sf=[[46, 46], [44]], noise_sf=[[31], [31]])
-    c2 = sb.SbrChannel(frame_class=sb.FIXVAR, num_env=2,
-                       freq_res=[1, 0], pointer=0, rel_bord_1=[8],
-                       df_env=[0, 0], df_noise=[0, 0], invf=[0],
-                       env_sf=[[46, 46], [21]], noise_sf=[[5], [26]],
-                       add_harmonic=[1, 0])
-    c3 = sb.SbrChannel(frame_class=sb.FIXVAR, num_env=2,
-                       freq_res=[1, 0], pointer=0, rel_bord_1=[8],
-                       df_env=[0, 0], df_noise=[0, 0], invf=[0],
-                       env_sf=[[46, 46], [52]], noise_sf=[[18], [9]])
-    return [c1, c2, c3]
+class BookRig:
+    name = ""
+    stereo = False
 
+    def __init__(self, rig: Rig, known: dict):
+        """known: {book_name: {value_str: bits}} for completed books."""
+        self.rig = rig
+        self.known = known
 
-def is_leaf_exact(rig, bits: str, key: str = "f_env") -> bool:
-    from aac_bitstream import BitWriter
-    for ch in env_f_configs():
-        huff = {key: _AnyBits(bits)}
+    # -- helpers ------------------------------------------------------
+
+    def kbits(self, book: str, val: int) -> str:
+        return self.known[book][str(val)]
+
+    def shifter_f_env(self, n: int):
+        """n in [0..7]: script for env1's single f-delta slot plus the
+        header force flags, producing offsets covering residues mod 8.
+        Uses only the '0' (1 bit) f_env codeword + header shifters
+        (+4/+5/+6): combined offsets {0,4,5,6,9,10,11,15}."""
+        combos = [(False, False, False), (False, False, True),
+                  (True, False, False), (False, True, False),
+                  (True, False, True), (False, True, True),
+                  (True, True, False), (True, True, True)]
+        return combos[n]
+
+    def make_header(self, amp: int, e1: bool, e2: bool) -> sb.SbrHeader:
+        return dataclasses.replace(
+            self.rig.header(amp), limiter_bands=2, limiter_gains=2,
+            interpol_freq=1, smoothing_mode=1,
+            force_extra1=e1, force_extra2=e2)
+
+    # -- discovery ----------------------------------------------------
+
+    def discover_len(self, cand: str):
+        """Codeword length at the start of `cand` (len 24/32)."""
+        def make_data(shift):
+            e1, e2, de = self.shifter_f_env(shift)
+            ch, huff = self.disc_channel(cand)
+            return sb.SbrData(header=self.make_header(self.amp, e1, e2),
+                              channels=ch, fs_sbr=44100,
+                              data_extra=de, huff=huff,
+                              coupling=self.stereo)
+
         w = BitWriter()
-        import dataclasses
-        h = dataclasses.replace(rig.hdr, limiter_bands=2,
-                                limiter_gains=2, force_extra1=False,
-                                force_extra2=False)
-        sb.SbrData(header=h, channels=[ch], fs_sbr=44100,
-                   huff=huff).write(w)
+        make_data(0).write(w)
         W = len("".join(w.bits))
-        C = exact_consumed(rig, ch, huff)
-        if C is None or C != W:
-            return False
-    return True
+        C = exact_consumed(self.rig, make_data, list(range(8)),
+                           stereo=self.stereo)
+        if C is None:
+            return None
+        return len(cand) + C - W
 
 
-def walk_lengths(rig, state: dict, name: str, key: str = "f_env",
-                 log=print, max_depth: int = 20):
-    """Recover the code TREE (all codewords) via the exact
-    consumed-bits oracle; values are assigned in a separate pass."""
-    words = state.setdefault(name + "_words", [])
-    frontier = state.setdefault(name + "_frontier", ["0", "1"])
-    kraft = sum(2.0 ** -len(b) for b in words)
-    while frontier:
-        bits = frontier.pop(0)
-        if len(bits) > max_depth:
-            log(f"  abandon {bits}")
-            continue
-        if is_leaf_exact(rig, bits, key):
-            words.append(bits)
-            kraft += 2.0 ** -len(bits)
-            log(f"  leaf {bits}  (kraft {kraft:.8f}, n={len(words)})")
-            if abs(kraft - 1.0) < 1e-12:
-                frontier.clear()
-                log("  codespace complete")
-                break
+class EnvF(BookRig):
+    """f_huffman_env (freq-direction deltas), amp_res 1 (3.0 dB) or
+    0 (1.5 dB).  ISO 14496-3 tables 4.A.x; slot: second band of a
+    2-band high-res envelope."""
+
+    def __init__(self, rig, known, amp):
+        super().__init__(rig, known)
+        self.amp = amp
+        self.name = f"f_env_{3 if amp else 1}"
+        self.v_anchor = 40 if amp else 60
+
+    def disc_channel(self, cand):
+        ch = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 0], df_noise=[0, 0],
+            invf=[0], env_sf=[[self.v_anchor, 0], [0]],
+            noise_sf=[[0], [0]])
+        return [ch], {"f_env": Seq([cand])}
+
+    def value_status(self, cand, v0):
+        ch = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 0], df_noise=[0, 0],
+            invf=[0], env_sf=[[v0, 0], [40]], noise_sf=[[0], [0]])
+        hdr = self.rig.header(self.amp)
+        stream = self.rig.mint(
+            lambda: sb.SbrData(header=hdr, channels=[ch], fs_sbr=44100,
+                               huff={"f_env": Seq([cand])}),
+            2, False)
+        return self.rig.decode(stream)
+
+    def assign_value(self, cand):
+        return _env_value(self, cand)
+
+
+class EnvT(EnvF):
+    """t_huffman_env: slot is the sole t-delta of a 1-band low-res
+    second envelope; its value chains from envelope 1's raw start."""
+
+    def __init__(self, rig, known, amp):
+        super().__init__(rig, known, amp)
+        self.name = f"t_env_{3 if amp else 1}"
+
+    def disc_channel(self, cand):
+        ch = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 1], df_noise=[0, 0],
+            invf=[0], env_sf=[[self.v_anchor, 0], [0]],
+            noise_sf=[[0], [0]])
+        fbook = f"f_env_{3 if self.amp else 1}"
+        return [ch], {"f_env": Seq([self.kbits(fbook, 0)]),
+                      "t_env": Seq([cand])}
+
+    def value_status(self, cand, v0):
+        ch = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 1], df_noise=[0, 0],
+            invf=[0], env_sf=[[v0, 0], [0]], noise_sf=[[0], [0]])
+        fbook = f"f_env_{3 if self.amp else 1}"
+        hdr = self.rig.header(self.amp)
+        stream = self.rig.mint(
+            lambda: sb.SbrData(header=hdr, channels=[ch], fs_sbr=44100,
+                               huff={"f_env": Seq([self.kbits(fbook, 0)]),
+                                     "t_env": Seq([cand])}),
+            2, False)
+        return self.rig.decode(stream)
+
+
+def _env_value(book, cand):
+    """Exact envelope delta via alarm bisection: value = v0 + d;
+    OVF iff v0 + d >= T, ERR iff v0 + d < 0."""
+    T = ENV_OVF_AT[book.amp]
+    vmax = T - 1                      # largest raw start that is clean
+    if (1 << ENV_START_BITS[book.amp]) - 1 < vmax:
+        vmax = (1 << ENV_START_BITS[book.amp]) - 1
+    s0 = book.value_status(cand, 0)
+    if s0 == OK or s0 == OVF:
+        # d >= 0: first non-OK v0 is T - d (the status ladder is
+        # OK -> OVF at value T -> hard ERR past the parse bound, so
+        # bisect on status != OK)
+        if s0 == OVF:
+            return T                  # v0=0 already over: d >= T (never)
+        lo, hi = 0, vmax              # status(lo)=ok; find first non-OK
+        if book.value_status(cand, vmax) == OK:
+            return 0                  # never overflows: d == 0
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if book.value_status(cand, mid) != OK:
+                hi = mid
+            else:
+                lo = mid
+        return T - hi
+    # d < 0: smallest clean v0 is -d
+    lo, hi = 0, vmax                  # status(lo)=ERR; find first non-ERR
+    if book.value_status(cand, vmax) == ERR:
+        raise RuntimeError(f"{book.name}: {cand} always errors")
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if book.value_status(cand, mid) == ERR:
+            lo = mid
         else:
-            frontier.append(bits + "0")
-            frontier.append(bits + "1")
-        save_state(state)
-    return words
+            hi = mid
+    return -hi
+
+
+class NoiseT(BookRig):
+    """t_huffman_noise_3.0dB: slot is the t-delta of the second noise
+    floor (df_noise=[0,1]); value chains from noise floor 1's raw
+    start.  Huffman-decoded noise values outside [0, 30] hard-error;
+    RAW starts up to 31 are accepted (check is on decoded values
+    only), which conveniently makes d = -31 measurable from q0 = 31."""
+
+    amp = 1
+    name = "t_noise_3"
+
+    def __init__(self, rig, known):
+        super().__init__(rig, known)
+
+    def disc_channel(self, cand, q0=15):
+        ch = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 0], df_noise=[0, 1],
+            invf=[0], env_sf=[[40, 0], [0]], noise_sf=[[q0], [0]])
+        return [ch], {"f_env": Seq([self.kbits("f_env_3", 0)]),
+                      "t_noise": Seq([cand])}
+
+    def discover_len(self, cand):
+        # the decoded value q0 + d must stay in [0, 30] for the parse
+        # to survive; d is unknown, so fall through anchor choices
+        for q0 in (15, 0, 30, 31):
+            def make_data(shift, q0=q0):
+                e1, e2, de = self.shifter_f_env(shift)
+                ch, huff = self.disc_channel(cand, q0)
+                return sb.SbrData(header=self.make_header(1, e1, e2),
+                                  channels=ch, fs_sbr=44100,
+                                  data_extra=de, huff=huff)
+            w = BitWriter()
+            make_data(0).write(w)
+            W = len("".join(w.bits))
+            C = exact_consumed(self.rig, make_data, list(range(8)))
+            if C is not None:
+                return len(cand) + C - W
+        return None
+
+    def value_status(self, cand, q0):
+        ch = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 0], df_noise=[0, 1],
+            invf=[0], env_sf=[[40, 0], [0]], noise_sf=[[q0], [0]])
+        hdr = self.rig.header(1)
+        stream = self.rig.mint(
+            lambda: sb.SbrData(header=hdr, channels=[ch], fs_sbr=44100,
+                               huff={"f_env": Seq([self.kbits("f_env_3",
+                                                              0)]),
+                                     "t_noise": Seq([cand])}),
+            2, False)
+        return self.rig.decode(stream)
+
+    def assign_value(self, cand):
+        """value = q0 + d; ERR iff outside [0, 30] (both sides)."""
+        s0 = self.value_status(cand, 0)
+        if s0 != ERR:
+            # d in [0, 30]: first ERR at q0 = 31 - d
+            if self.value_status(cand, 30) != ERR:
+                return 0
+            lo, hi = 0, 30
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if self.value_status(cand, mid) == ERR:
+                    hi = mid
+                else:
+                    lo = mid
+            return NOISE_INVALID_AT - hi
+        # d < 0 (or d == 31, but q0=31 disambiguates: 31 + d <= 30 ok
+        # for d < 0 incl. -31; 31 + 31 = 62 errors)
+        if self.value_status(cand, 31) == ERR:
+            return NOISE_INVALID_AT   # d = +31 (always-ERR signature)
+        lo, hi = 0, 31
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if self.value_status(cand, mid) == ERR:
+                lo = mid
+            else:
+                hi = mid
+        return -hi
+
+
+# ---------------------------------------------------------------------------
+# State + walks
 
 
 def save_state(state: dict):
@@ -457,13 +466,128 @@ def load_state() -> dict:
     return {}
 
 
-if __name__ == "__main__":
+def next_free_path(words) -> str | None:
+    """Lexicographically smallest code-tree path with no known word as
+    a prefix and unexplored capacity below, or None when complete."""
+    def capacity(prefix):
+        cap = 2.0 ** -len(prefix)
+        for w in words:
+            if w.startswith(prefix):
+                cap -= 2.0 ** -len(w)
+        return cap
+
+    if abs(sum(2.0 ** -len(w) for w in words) - 1.0) < 1e-12:
+        return None
+    s = ""
+    wordset = set(words)
+    while True:
+        for b in "01":
+            t = s + b
+            if t in wordset:
+                continue
+            if capacity(t) > 1e-12:
+                s = t
+                break
+        else:
+            raise RuntimeError(f"no free child under {s!r}")
+        if not any(w.startswith(s) for w in words):
+            return s
+
+
+def discover_book(book, state: dict, log=print, maxlen: int = 24):
+    """Walk the free code space until the Kraft sum closes at 1.
+
+    A leaf whose decoded VALUE kills the parse at every anchor (e.g.
+    noise delta +31 is out of range from any raw start) cannot be
+    length-probed; sidestep it with continuations that diverge from
+    the all-zeros leaf, and infer the final leaf from Kraft closure
+    when it is the only gap left."""
+    words = state.setdefault(book.name + "_words", [])
+    while True:
+        path = next_free_path(words)
+        if path is None:
+            log(f"{book.name}: complete, {len(words)} codewords")
+            return words
+        conts = ["0" * maxlen] + ["0" * k + "1" + "0" * maxlen
+                                  for k in range(10)]
+        L = cand = None
+        for cont in conts:
+            cand = (path + cont)[:max(maxlen, len(path))]
+            L = book.discover_len(cand)
+            if L is not None:
+                break
+        if L is None:
+            kraft = sum(2.0 ** -len(w) for w in words)
+            if (abs((1.0 - kraft) - 2.0 ** -len(path)) < 1e-12
+                    and not any(w.startswith(path) for w in words)):
+                # the unprobeable leaf is the single remaining gap:
+                # its subtree capacity matches, so the leaf is `path`
+                words.append(path)
+                log(f"  {book.name} word {path} (INFERRED from Kraft "
+                    f"closure, n={len(words)})")
+                save_state(state)
+                continue
+            raise RuntimeError(f"{book.name}: oracle inconsistent at "
+                               f"{path}")
+        if L > len(cand):
+            cand = (path + "0" * (L + 8))[:L + 8]
+            L = book.discover_len(cand)
+        cw = cand[:L]
+        if not cw.startswith(path) and not path.startswith(cw):
+            raise RuntimeError(f"{book.name}: {cw} off-path {path}")
+        if cw in words:
+            raise RuntimeError(f"{book.name}: rediscovered {cw}")
+        words.append(cw)
+        kraft = sum(2.0 ** -len(w) for w in words)
+        log(f"  {book.name} word {cw} (n={len(words)}, "
+            f"kraft={kraft:.8f}, decodes={book.rig.decodes})")
+        save_state(state)
+
+
+def assign_book(book, state: dict, log=print):
+    words = state[book.name + "_words"]
+    tbl = state.setdefault(book.name, {})
+    assigned = set(tbl.values())
+    for cw in words:
+        if cw in assigned:
+            continue
+        v = book.assign_value(cw)
+        key = str(v)
+        if key in tbl and tbl[key] != cw:
+            raise RuntimeError(f"{book.name}: duplicate value {v}: "
+                               f"{cw} vs {tbl[key]}")
+        tbl[key] = cw
+        assigned.add(cw)
+        log(f"  {book.name} {cw} -> {v:+d} "
+            f"(decodes={book.rig.decodes})")
+        save_state(state)
+    vals = sorted(int(k) for k in tbl)
+    log(f"{book.name}: values {vals[0]}..{vals[-1]} n={len(vals)}")
+    return tbl
+
+
+def main():
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument("table", nargs="?", default="f_env_3")
+    p.add_argument("books", nargs="*",
+                   default=["f_env_3", "t_env_3", "f_env_1", "t_env_1",
+                            "t_noise_3"])
     args = p.parse_args()
     state = load_state()
-    if args.table == "f_env_3":
-        rig = Rig(amp_res=1)
-        words = walk_lengths(rig, state, "f_env_3")
-        print(json.dumps(sorted(words, key=len)))
+    rig = Rig()
+    known = state
+    mk = {
+        "f_env_3": lambda: EnvF(rig, known, 1),
+        "f_env_1": lambda: EnvF(rig, known, 0),
+        "t_env_3": lambda: EnvT(rig, known, 1),
+        "t_env_1": lambda: EnvT(rig, known, 0),
+        "t_noise_3": lambda: NoiseT(rig, known),
+    }
+    for name in args.books:
+        book = mk[name]()
+        discover_book(book, state)
+        assign_book(book, state)
+
+
+if __name__ == "__main__":
+    main()
