@@ -107,9 +107,13 @@ class Rig:
                             limiter_gains=3)
 
     def mint(self, data_factory, nframes: int, stereo: bool) -> bytes:
+        """data_factory() -> SbrData; pass mint_i for per-frame data."""
+        return self.mint_i(lambda i: data_factory(), nframes, stereo)
+
+    def mint_i(self, data_factory, nframes: int, stereo: bool) -> bytes:
         out = []
         for i in range(nframes):
-            fil = sb.sbr_fil(data_factory())
+            fil = sb.sbr_fil(data_factory(i))
             if stereo:
                 cpe = CPE(left=self.sces[i % 2], right=self.sces[i % 2],
                           ms_present=0)
@@ -448,6 +452,288 @@ class NoiseT(BookRig):
         return -hi
 
 
+class BalBook(BookRig):
+    """Coupled-CPE balance codebooks (ch1 carries balance factors).
+    ch0 uses the plain books (already extracted) with all-known
+    codewords; the candidate sits in ch1's slot with zeros after."""
+
+    stereo = True
+    slot = ""                          # huff key for the candidate
+
+    def __init__(self, rig, known, amp=1):
+        super().__init__(rig, known)
+        self.amp = amp
+        self.fbook = f"f_env_{3 if amp else 1}"
+        self.balf = f"f_env_bal_{3 if amp else 1}"
+
+    def channels(self, cand, v0b, q0b=0, c0_delta=0):
+        c0 = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 0], df_noise=[0, 0],
+            invf=[0], env_sf=[[40, 0], [0]], noise_sf=[[0], [0]])
+        c1 = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8],
+            df_env=self.df1, df_noise=self.dn1,
+            invf=[0], env_sf=[[v0b, 0], [0]], noise_sf=[[q0b], [0]])
+        huff = {"f_env": Seq([self.kbits(self.fbook, c0_delta)] * 2)}
+        huff.update(self.slot_huff(cand))
+        return [c0, c1], huff
+
+    def make_data(self, cand, v0b, e1, e2, q0b=0, c0_delta=0):
+        ch, huff = self.channels(cand, v0b, q0b, c0_delta)
+        return sb.SbrData(header=self.make_header(self.amp, e1, e2),
+                          channels=ch, fs_sbr=44100,
+                          coupling=True, huff=huff)
+
+    def shifts(self):
+        """(c0_delta value, e1, e2) combos covering every written-
+        offset residue mod 8: c0's env1 f-delta slot is scripted with
+        known codewords of varying length, combined with the +5/+6
+        header shifters (the writer has no CPE data_extra field)."""
+        if getattr(self, "_shifts", None) is not None:
+            return self._shifts
+        lens = {v: len(self.kbits(self.fbook, v))
+                for v in (-4, -3, -2, -1, 0, 1, 2, 3, 4)}
+        base = lens[0]
+        chosen, seen = [(0, False, False)], {0}
+        for v, l in sorted(lens.items(), key=lambda kv: abs(kv[0])):
+            for e1, e2, h in ((False, False, 0), (True, False, 5),
+                              (False, True, 6), (True, True, 11)):
+                r = (l - base + h) % 8
+                if r not in seen:
+                    seen.add(r)
+                    chosen.append((v, e1, e2))
+        if len(seen) < 8:
+            raise RuntimeError(f"{self.name}: only residues {seen}")
+        self._shifts = chosen
+        return chosen
+
+    def discover_len(self, cand):
+        shifts = self.shifts()
+        for anchor in self.anchors:
+            def mk(shift, anchor=anchor):
+                c0d, e1, e2 = shifts[shift]
+                return self.make_data(cand, anchor[0], e1, e2,
+                                      q0b=anchor[1], c0_delta=c0d)
+            w = BitWriter()
+            mk(0).write(w)
+            W = len("".join(w.bits))
+            C = exact_consumed(self.rig, mk, list(range(len(shifts))),
+                               stereo=True)
+            if C is not None:
+                return len(cand) + C - W
+        return None
+
+    def value_status(self, cand, v0b, q0b=0):
+        hdr = self.rig.header(self.amp)
+
+        def mk():
+            ch, huff = self.channels(cand, v0b, q0b)
+            return sb.SbrData(header=hdr, channels=ch, fs_sbr=44100,
+                              coupling=True, huff=huff)
+        return self.rig.decode(self.rig.mint(mk, 2, True))
+
+
+class BalEnvF(BalBook):
+    df1 = (0, 0)
+    dn1 = (0, 0)
+
+    def __init__(self, rig, known, amp=1):
+        super().__init__(rig, known, amp)
+        self.name = f"f_env_bal_{3 if amp else 1}"
+        self.slot = "f_env_bal"
+        self.anchors = [(15, 0), (0, 0), (30, 0)] if amp else \
+            [(30, 0), (0, 0), (60, 0)]
+
+    def slot_huff(self, cand):
+        return {"f_env_bal": Seq([cand])}
+
+    def vmax(self):
+        return (1 << (5 if self.amp else 6)) - 1
+
+    def neg_bisect(self, cand):
+        """d < 0 iff ERR at v0b=0; then the smallest clean v0b is -d.
+        Returns the exact negative value, 0+ sentinel None."""
+        if self.value_status(cand, 0) != ERR:
+            return None
+        lo, hi = 0, self.vmax()
+        if self.value_status(cand, hi) == ERR:
+            raise RuntimeError(f"{self.name}: {cand} always errors")
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if self.value_status(cand, mid) == ERR:
+                lo = mid
+            else:
+                hi = mid
+        return -hi
+
+    def find_neg1(self, words) -> str:
+        if getattr(self, "_neg1", None):
+            return self._neg1
+        for cw in sorted(words, key=len):
+            if self.neg_bisect(cw) == -1:
+                self._neg1 = cw
+                return cw
+        raise RuntimeError(f"{self.name}: no -1 codeword found")
+
+    def pos_status(self, cand, ballast_neg1, j):
+        """Wide-grid coupled probe: ch1 env1 = [0, cand, -1 x j,
+        0-deltas...]; ERR iff the running value 0 + d - j' drops
+        below zero, i.e. iff j > d."""
+        hdr = dataclasses.replace(
+            sb.SbrHeader(amp_res=self.amp, start_freq=0, stop_freq=8,
+                         freq_scale=0, alter_scale=0, noise_bands=0,
+                         xover_band=0, limiter_bands=0,
+                         limiter_gains=3))
+        ft = hdr.tables(44100)
+        nh, nl = ft.n_high, ft.n_low
+        assert j <= nh - 2, j
+        c0 = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 0], df_noise=[0, 0],
+            invf=[0] * ft.n_q, env_sf=[[40] * nh, [0] * nl],
+            noise_sf=[[0] * ft.n_q, [0] * ft.n_q])
+        c1 = sb.SbrChannel(
+            frame_class=sb.FIXVAR, num_env=2, freq_res=[1, 0],
+            pointer=0, rel_bord_1=[8], df_env=[0, 0], df_noise=[0, 0],
+            invf=[0] * ft.n_q, env_sf=[[0] * nh, [0] * nl],
+            noise_sf=[[0] * ft.n_q, [0] * ft.n_q])
+        # Filler for the slots after the probe block: +1 when already
+        # assigned (bounded upward drift; balance values are stored
+        # doubled internally and hard-error past ~127, so repeating a
+        # large candidate 33x would alarm on its own), else the
+        # candidate itself (only happens while |d| <= 1 is still
+        # being resolved, where self-fill is drift-safe).  ERR iff
+        # j > d either way.
+        fill = getattr(self, "_pos1", None) or cand
+        script = ([cand] + [ballast_neg1] * j
+                  + [fill] * (nh - 2 - j) + [fill] * (nl - 1))
+
+        def mk():
+            huff = {"f_env": Seq([self.kbits(self.fbook, 0)]
+                                 * (nh - 1 + nl - 1)),
+                    "f_env_bal": Seq(script)}
+            return sb.SbrData(header=hdr, channels=[c0, c1],
+                              fs_sbr=44100, coupling=True, huff=huff)
+        return self.rig.decode(self.rig.mint(mk, 2, True))
+
+    def assign_value(self, cand):
+        d = self.neg_bisect(cand)
+        if d is not None:
+            return d
+        words = self.known[self.name + "_words"]
+        neg1 = self.find_neg1(words)
+        # bisect smallest j with ERR: j_thr = d + 1
+        lo, hi = 0, 30
+        if self.pos_status(cand, neg1, lo) == ERR:
+            raise RuntimeError(f"{self.name}: {cand} ERR at j=0")
+        if self.pos_status(cand, neg1, hi) != ERR:
+            raise RuntimeError(f"{self.name}: {cand} clean at j=30")
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if self.pos_status(cand, neg1, mid) == ERR:
+                hi = mid
+            else:
+                lo = mid
+        d = hi - 1
+        if d == 1 and not getattr(self, "_pos1", None):
+            self._pos1 = cand
+        return d
+
+
+class BalEnvT(BalEnvF):
+    df1 = (0, 1)
+    dn1 = (0, 0)
+
+    def __init__(self, rig, known, amp=1):
+        super().__init__(rig, known, amp)
+        self.name = f"t_env_bal_{3 if amp else 1}"
+        self.slot = "t_env_bal"
+        self.anchors = [(15, 0), (0, 0), (30, 0)] if amp else \
+            [(30, 0), (0, 0), (60, 0)]
+
+    def slot_huff(self, cand):
+        return {"f_env_bal": Seq([self.kbits(self.balf, 0)]),
+                "t_env_bal": Seq([cand])}
+
+    def pos_status(self, cand, ballast_neg1, j):
+        """Cross-frame time-delta chain: frame 0 raw-starts ch1 at 0,
+        frame 1 applies the candidate, frames 2..j+1 each apply a
+        known -1; delta-time coding chains across frames, so ERR iff
+        the running balance value 0 + d - j drops below zero."""
+        hdr = self.rig.header(self.amp)
+        tbook = f"t_env_{3 if self.amp else 1}"
+
+        def factory(i):
+            first = i == 0
+            c0 = sb.SbrChannel(
+                frame_class=sb.FIXVAR, num_env=1, freq_res=[0],
+                pointer=0, rel_bord_1=[], df_env=[0 if first else 1],
+                df_noise=[0], invf=[0],
+                env_sf=[[40]], noise_sf=[[0]])
+            c1 = sb.SbrChannel(
+                frame_class=sb.FIXVAR, num_env=1, freq_res=[0],
+                pointer=0, rel_bord_1=[], df_env=[0 if first else 1],
+                df_noise=[0], invf=[0],
+                env_sf=[[0]], noise_sf=[[0]])
+            huff = {"t_env": Seq([self.kbits(tbook, 0)]),
+                    "t_env_bal": Seq([cand if i == 1 else
+                                      ballast_neg1])}
+            return sb.SbrData(header=hdr, channels=[c0, c1],
+                              fs_sbr=44100, coupling=True, huff=huff,
+                              send_header=first)
+        stream = self.rig.mint_i(factory, j + 2, True)
+        return self.rig.decode(stream)
+
+
+class BalNoiseT(BalBook):
+    df1 = (0, 0)
+    dn1 = (0, 1)
+
+    def __init__(self, rig, known, amp=1):
+        super().__init__(rig, known, amp)
+        self.name = "t_noise_bal_3"
+        self.slot = "t_noise_bal"
+        # anchor on ch1's noise start q0b; env start fixed mid
+        self.anchors = [(15, 15), (15, 0), (15, 30), (15, 31)]
+
+    def slot_huff(self, cand):
+        return {"f_env_bal": Seq([self.kbits(self.balf, 0)]),
+                "t_noise_bal": Seq([cand])}
+
+    def value_status_q(self, cand, q0b):
+        return self.value_status(cand, 15, q0b)
+
+    def assign_value(self, cand):
+        """ch1 noise floors are stored doubled and checked against
+        [0, 30] in stored units: stored = 2*q0b + 2*d, so the wrap
+        boundary gives d = -first_clean_q0b and the upper boundary
+        gives d = 16 - first_err_q0b (both exact in table units;
+        measured empirically, see the landscape sweep in the log)."""
+        if self.value_status_q(cand, 0) == ERR:
+            # d < 0: clean window is [-d, 15-d], which always contains
+            # q0b=15; bisect the wrap boundary below it
+            lo, hi = 0, 15
+            if self.value_status_q(cand, hi) == ERR:
+                raise RuntimeError(f"{self.name}: {cand} always ERR")
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if self.value_status_q(cand, mid) == ERR:
+                    lo = mid
+                else:
+                    hi = mid
+            return -hi
+        lo, hi = 0, 31                # d >= 0: first ERR q0b = 16 - d
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if self.value_status_q(cand, mid) == ERR:
+                hi = mid
+            else:
+                lo = mid
+        return 16 - hi
+
+
 # ---------------------------------------------------------------------------
 # State + walks
 
@@ -571,7 +857,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("books", nargs="*",
                    default=["f_env_3", "t_env_3", "f_env_1", "t_env_1",
-                            "t_noise_3"])
+                            "t_noise_3", "f_env_bal_3", "t_env_bal_3",
+                            "f_env_bal_1", "t_env_bal_1",
+                            "t_noise_bal_3"])
+    p.add_argument("--discover-only", action="store_true")
     args = p.parse_args()
     state = load_state()
     rig = Rig()
@@ -582,11 +871,17 @@ def main():
         "t_env_3": lambda: EnvT(rig, known, 1),
         "t_env_1": lambda: EnvT(rig, known, 0),
         "t_noise_3": lambda: NoiseT(rig, known),
+        "f_env_bal_3": lambda: BalEnvF(rig, known, 1),
+        "f_env_bal_1": lambda: BalEnvF(rig, known, 0),
+        "t_env_bal_3": lambda: BalEnvT(rig, known, 1),
+        "t_env_bal_1": lambda: BalEnvT(rig, known, 0),
+        "t_noise_bal_3": lambda: BalNoiseT(rig, known, 1),
     }
     for name in args.books:
         book = mk[name]()
         discover_book(book, state)
-        assign_book(book, state)
+        if not args.discover_only:
+            assign_book(book, state)
 
 
 if __name__ == "__main__":
