@@ -280,7 +280,11 @@ class SbrDecoder:
                 xh[t, k] = (x[t, p] + b * a0 * x[t - 1, p]
                             + b * b * a1 * x[t - 2, p])
                 k += 1
-        if k != ft.kx + ft.m:
+        # a final patch shorter than 3 subbands is dropped by the
+        # patch builder; the uncovered top bands stay zero and are
+        # carried by the noise floor alone (pinned vs oracle on the
+        # start_freq=8 grid where kx=17, m=17, patches=[15])
+        if k > ft.kx + ft.m:
             raise AssertionError((k, ft.kx, ft.m))
         return xh[T_HFGEN - T_HFADJ:T_HFGEN - T_HFADJ + SUB]
 
