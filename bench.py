@@ -326,8 +326,9 @@ def main(argv=None):
         sep_wide = Separator(model, sep.variables, batchsize=3,
                              cropsize=1024)
         wide_crop_device_xrt, _, _ = device_chain_xrt(sep_wide, pcm_stack)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"[bench] wide-crop measurement failed: {e!r}",
+              file=sys.stderr)
 
     # grouped wide-crop serving (SeparatorService group=N): the patch
     # axes of N songs merge into one batchsize-chunked model stream, so
@@ -367,8 +368,9 @@ def main(argv=None):
         group_wide_device_xrt = grouped_device_xrt(
             Separator(model, sep.variables, batchsize=24, cropsize=1024)
         )
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"[bench] grouped measurement failed: {e!r}",
+              file=sys.stderr)
 
     # int8 quantized serving (same grouped wide-crop geometry):
     # per-channel int8 conv kernels + dynamic activation quant on the
@@ -432,10 +434,21 @@ def main(argv=None):
             print(f"[bench] train section failed: {e!r}", file=sys.stderr)
 
     # ---- link-normalized headline (see module docstring) ---------------
-    best_device_xrt = max(
-        x for x in (device_only_xrt, wide_crop_device_xrt,
-                    group_wide_device_xrt) if x
-    )
+    # The composite is defined on the default serving config (grouped
+    # wide-crop). If that measurement failed, fall back to the best
+    # available config but LABEL the substitution in headline_config so
+    # the headline can't silently mean a different configuration.
+    if group_wide_device_xrt:
+        best_device_xrt = group_wide_device_xrt
+        headline_config = "group_wide"
+    elif wide_crop_device_xrt:
+        best_device_xrt = wide_crop_device_xrt
+        headline_config = "wide_crop (FALLBACK: grouped measurement failed)"
+    else:
+        best_device_xrt = device_only_xrt
+        headline_config = (
+            "default_crop (FALLBACK: grouped + wide measurements failed)"
+        )
     L = NOMINAL_LINK_MBPS * 1e6
     up_bytes = pcm.nbytes            # PCM16 stereo mixture up
     down_bytes = pcm.nbytes          # PCM16 instruments down (residual
@@ -472,6 +485,7 @@ def main(argv=None):
                     "duplex link (see bench.py docstring); same-day "
                     "tunnel rate in measured_e2e_xrt"
                 ),
+                "headline_config": headline_config,
                 "vs_baseline": round(composite_xrt / baseline, 1),
                 "baseline_xrt": round(baseline, 2),
                 "baseline_measured": baseline_measured,

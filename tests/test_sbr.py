@@ -386,3 +386,38 @@ def test_oracle_huffman_noise(orc):
                                 noise_sf=[list(q3), list(q1)])]
     snr = _mint_and_compare(orc, hdr, coded, absc, nframes=16)
     assert snr > 50, snr
+
+
+# ---------------------------------------------------------------------------
+# 4. baked C header: regenerable and valid C
+
+def test_sbr_tables_header_compiles(tmp_path):
+    """The generated native/sbr_tables.h must be valid C (advisor r4:
+    %.17g dropped decimal points, producing '0f' integer-suffix
+    errors); compile a TU that includes it and touches every array."""
+    import shutil
+    import subprocess
+
+    cc = os.environ.get("CC") or shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        pytest.skip("no C compiler available")
+    hdr = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "vocal_remover_tpu", "native",
+        "sbr_tables.h")
+    assert os.path.exists(hdr), "sbr_tables.h missing — run " \
+        "scripts/sbr_bake_tables.py"
+    src = tmp_path / "smoke.c"
+    src.write_text(
+        f'#include "{hdr}"\n'
+        "float touch(void) {\n"
+        "  float s = SBR_QMF_WIN[639] + SBR_NOISE[1023];\n"
+        "  s += sbr_f_env_3_len[62] + sbr_f_env_3_code[62];\n"
+        "  s += sbr_t_env_1_len[120] + sbr_t_env_1_code[120];\n"
+        "  s += sbr_t_noise_3_len[62] + sbr_t_noise_bal_3_len[24];\n"
+        "  return s;\n"
+        "}\n"
+    )
+    res = subprocess.run(
+        [cc, "-c", "-Wall", "-Werror", "-o", str(tmp_path / "smoke.o"),
+         str(src)], capture_output=True, text=True, timeout=60)
+    assert res.returncode == 0, res.stderr

@@ -247,10 +247,12 @@ def main(argv=None):
                 # stack to per-channel int8 MXU kernels
                 from vocal_remover_tpu.models import serving
 
+                # only 'bfloat16'/'int8' are weight transforms —
+                # 'highest'/'default' keep f32 weights (dtype=None)
                 variables = serving.serving_variables(
                     variables,
-                    args.precision if args.precision != 'highest'
-                    else None,
+                    args.precision
+                    if args.precision in ('bfloat16', 'int8') else None,
                     model=model, flat=args.flat_conv,
                 )
 

@@ -143,16 +143,18 @@ def cast_weights(variables, dtype=jnp.bfloat16):
 
 def calibrate_act_scales(model, variables, batches, margin=1.0):
     """Record per-conv input-activation amax over eager eval forwards
-    of `batches` (NHWC arrays) and return {kernel-leaf id: f32 scale}
+    of `batches` (NHWC arrays) and return {tree path tuple: f32 scale}
     for quantize_int8's static activation quantization.
 
     Static scales replace the dynamic per-dispatch amax reduction —
     an unfusable extra pass over every conv input that measured slower
     than the int8 MXU gain itself (BENCH_NOTES round 4). Inputs beyond
     the calibrated range saturate at +-127; `margin` scales the
-    recorded amax for headroom. Call with the SAME `variables` tree
-    that will be passed to quantize_int8 (scales are keyed by leaf
-    identity).
+    recorded amax for headroom. The recorder keys by kernel-leaf
+    identity during the forward; before returning, the keys are
+    rewritten to tree paths against `variables`, so the result stays
+    valid for any structurally-equal tree (re-folded, device_put,
+    copied) passed to quantize_int8 later.
 
     The eager forward is pinned to the CPU backend: calibration runs
     one op at a time (the recorder needs a host sync per conv), which
@@ -172,10 +174,23 @@ def calibrate_act_scales(model, variables, batches, margin=1.0):
         ):
             for x in batches:
                 model(variables, x)
-    return {
-        k: np.float32(max(v * margin, 1e-30) / 127.0)
-        for k, v in rec.items()
-    }
+
+    id_to_path = {}
+
+    def index(node, path=()):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                index(v, path + (k,))
+        else:
+            id_to_path[id(node)] = path
+
+    index(variables)
+    scales = {}
+    for k, v in rec.items():
+        path = id_to_path.get(k)
+        if path is not None:
+            scales[path] = np.float32(max(v * margin, 1e-30) / 127.0)
+    return scales
 
 
 def quantize_int8(variables, act_scales=None):
@@ -193,20 +208,25 @@ def quantize_int8(variables, act_scales=None):
     Call on fold_batch_norms output; the identity-BN bias that carries
     the folded shift stays f32 and is added after dequantization.
 
-    act_scales: optional {kernel-leaf id: f32 scale} from
+    act_scales: optional {tree path tuple: f32 scale} from
     calibrate_act_scales — embeds a static "a_scale" per conv so the
     serving graph quantizes activations with one fusable round/clip
-    instead of a per-dispatch amax reduction.
+    instead of a per-dispatch amax reduction. If scales are supplied
+    but none match the tree (a silent total miss would fall back to
+    the slower dynamic quantization), a ValueError is raised.
     """
+    n_attached = 0
 
-    def quant(kernel):
+    def quant(kernel, path):
+        nonlocal n_attached
         w = np.asarray(kernel, np.float32)
         scale = np.max(np.abs(w), axis=(0, 1, 2))  # per out channel
         scale = np.maximum(scale, 1e-30) / 127.0
         q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
         out = {"q": jnp.asarray(q), "scale": jnp.asarray(scale, jnp.float32)}
-        if act_scales is not None and id(kernel) in act_scales:
-            out["a_scale"] = jnp.asarray(act_scales[id(kernel)], jnp.float32)
+        if act_scales is not None and path in act_scales:
+            out["a_scale"] = jnp.asarray(act_scales[path], jnp.float32)
+            n_attached += 1
         return out
 
     def walk(node, path=()):
@@ -217,10 +237,18 @@ def quantize_int8(variables, act_scales=None):
         if set(node.keys()) == {"conv", "bn"} and hasattr(
             node["conv"], "shape"
         ):
-            return {"conv": quant(node["conv"]), "bn": node["bn"]}
+            return {"conv": quant(node["conv"], path + ("conv",)),
+                    "bn": node["bn"]}
         return {k: walk(v, path + (k,)) for k, v in node.items()}
 
-    return walk(variables)
+    out = walk(variables)
+    if act_scales and n_attached == 0:
+        raise ValueError(
+            "quantize_int8: activation scales were supplied but none "
+            "matched the variable tree — calibrate against a tree with "
+            "the same structure (paths are the keys)"
+        )
+    return out
 
 
 def pack_flat_encoders(variables, model):
