@@ -489,17 +489,18 @@ def test_junk_tail_keeps_sample_rate(ext, orc):
     assert sr2 == 44100 and len(mine2) == len(mine)
 
 
-def test_sbr_stream_rejected(ext):
-    """an SBR extension in a FIL element marks HE-AAC: the native
-    decoder must error (so audio.load falls back to ffmpeg) instead of
-    returning lowpassed LC-core audio"""
+def test_sbr_garbage_payload_rejected(ext):
+    """a malformed SBR extension payload (sbr_data before any header
+    was ever sent) must fail the decode cleanly — NOT return lowpassed
+    LC-core audio, and not crash. Real HE-AAC streams now decode
+    full-band natively (tests/test_sbr.py test_native_heaac_*)."""
     one_band = SCE(global_gain=100, max_sfb=1, sections=[(0, 1)])
     w = BitWriter()
     one_band.write(w)
     w.put(6, 3)          # FIL
     w.put(2, 4)          # count 2 bytes
     w.put(0x0D, 4)       # extension_type = SBR_DATA
-    w.put(0, 12)
+    w.put(0, 12)         # header_flag=0 with no prior header: invalid
     payload = w.tobytes()
     h = BitWriter()
     h.put(0xFFF, 12)
@@ -515,7 +516,7 @@ def test_sbr_stream_rejected(ext):
     h.put(0x7FF, 11)
     h.put(0, 2)
     frame = h.tobytes() + payload + b"\x00" * 3
-    with pytest.raises(ValueError, match="ffmpeg"):
+    with pytest.raises(ValueError):
         ext.aac_decode(frame)
 
 

@@ -421,3 +421,265 @@ def test_sbr_tables_header_compiles(tmp_path):
         [cc, "-c", "-Wall", "-Werror", "-o", str(tmp_path / "smoke.o"),
          str(src)], capture_output=True, text=True, timeout=60)
     assert res.returncode == 0, res.stderr
+
+
+# ---------------------------------------------------------------------------
+# 5. native C decoder end-to-end (the shipped HE-AAC ingest path)
+
+
+@pytest.fixture(scope="module")
+def ext():
+    from vocal_remover_tpu import native
+    if native.get() is None:
+        pytest.skip("native extension unavailable")
+    return native
+
+
+def _mk_sce(rng, gain=170):
+    import aac_lc_encode as lc
+    return lc.encode_sce(lc.dense_spectrum(22050, 200, 9000, rng=rng),
+                         22050, global_gain=gain)
+
+
+def _mint_he(hdr, chans, nframes=24, coupling=False, seed=3):
+    """ADTS HE-AAC stream (+ matching core-only stream) from SbrChannel
+    params; mono SCE unless `coupling` (then a stereo coupled CPE)."""
+    import sbr_bitstream as sb
+    import sbr_parse as sp
+    from aac_bitstream import CPE, adts_frame
+
+    books = sp.Books()
+    rng = np.random.default_rng(seed)
+    he, lco = [], []
+    for i in range(nframes):
+        if coupling:
+            c0, c1 = chans[0], chans[1]
+            huff = books.writer_huff(c0.amp_res_used(hdr.amp_res))
+            d = sb.SbrData(header=hdr, channels=[c0, c1], fs_sbr=44100,
+                           huff=huff, send_header=(i == 0),
+                           coupling=True)
+            els = [CPE(left=_mk_sce(rng, 170), right=_mk_sce(rng, 168))]
+            he.append(adts_frame(els + [sb.sbr_fil(d)], sr=22050,
+                                 channel_config=2))
+            lco.append(adts_frame(els, sr=22050, channel_config=2))
+        else:
+            ch = chans[i % len(chans)]
+            huff = books.writer_huff(ch.amp_res_used(hdr.amp_res))
+            d = sb.SbrData(header=hdr, channels=[ch], fs_sbr=44100,
+                           huff=huff, send_header=(i == 0))
+            els = [_mk_sce(rng)]
+            he.append(adts_frame(els + [sb.sbr_fil(d)], sr=22050))
+            lco.append(adts_frame(els, sr=22050))
+    return b"".join(he), b"".join(lco)
+
+
+def _flat_chan(ft):
+    import sbr_bitstream as sb
+    return sb.SbrChannel(num_env=1, freq_res=[0], df_env=[0],
+                         df_noise=[0], invf=[2] * ft.n_q,
+                         env_sf=[[24] * ft.n_low],
+                         noise_sf=[[10] * ft.n_q])
+
+
+def test_native_heaac_adts(ext, orc):
+    """The shipped decoder reconstructs the full band of an HE-AAC
+    ADTS stream: ~80 dB vs the libav oracle (the reference decodes the
+    same input via ffmpeg, inference.py:136-138) and >120 dB vs the
+    pinned Python reference chain — proving the C port is exact."""
+    import sbr_bitstream as sb
+    import sbr_ref
+
+    hdr = sb.SbrHeader(amp_res=1, start_freq=5, stop_freq=5,
+                       xover_band=0)
+    ft = hdr.tables(44100)
+    he, lco = _mint_he(hdr, [_flat_chan(ft)])
+    ref, sr = orc.decode_bytes(he, suffix=".aac")
+    got, sr2 = ext.aac_decode(he)
+    got = np.asarray(got)[:, 0]
+    assert sr == sr2 == 44100
+    snr = _aligned_snr(ref[:, 0].astype(np.float64),
+                       got.astype(np.float64), max_lag=64)
+    assert snr > 70, snr
+    # exactness vs the Python reference chain on the same stream
+    core, csr = ext.aac_decode(lco)
+    assert csr == 22050
+    core = np.asarray(core)[:, 0]
+    dec = sbr_ref.SbrDecoder(hdr, 44100)
+    pyo = np.concatenate([
+        dec.frame(core[i * 1024:(i + 1) * 1024].astype(np.float64),
+                  _flat_chan(ft))
+        for i in range(len(core) // 1024)])
+    n = min(len(pyo), len(got))
+    err = got[:n].astype(np.float64) - pyo[:n]
+    p = float((pyo[:n] ** 2).mean())
+    exact = 10 * np.log10(p / max(float((err ** 2).mean()), 1e-30))
+    assert exact > 120, exact
+
+
+def test_native_heaac_dense_transitions_bound(ext, orc):
+    """Dense per-frame envelope transitions: the documented worst case
+    of the pinned reference chain (~47 dB, PARITY.md). The native
+    decoder must (a) stay above the documented 40 dB bound vs the
+    oracle and (b) match the Python chain >120 dB — i.e. the gap is
+    the shared reference behavior, not a porting defect."""
+    import sbr_bitstream as sb
+    import sbr_ref
+
+    hdr = sb.SbrHeader(amp_res=1, start_freq=5, stop_freq=5,
+                       xover_band=0)
+    ft = hdr.tables(44100)
+    chans = []
+    for v in (20, 24, 28):
+        chans.append(sb.SbrChannel(
+            num_env=2, freq_res=[1, 1], df_env=[0, 0], df_noise=[0, 0],
+            invf=[2] * ft.n_q,
+            env_sf=[[v + (j % 5) for j in range(ft.n_high)],
+                    [v + 2 + (j % 3) for j in range(ft.n_high)]],
+            noise_sf=[[8 + (k % 3) for k in range(ft.n_q)],
+                      [11] * ft.n_q]))
+    he, lco = _mint_he(hdr, chans)
+    ref, _ = orc.decode_bytes(he, suffix=".aac")
+    got, _ = ext.aac_decode(he)
+    got = np.asarray(got)[:, 0]
+    snr = _aligned_snr(ref[:, 0].astype(np.float64),
+                       got.astype(np.float64), max_lag=64)
+    assert snr > 40, snr
+    core, _ = ext.aac_decode(lco)
+    core = np.asarray(core)[:, 0]
+    dec = sbr_ref.SbrDecoder(hdr, 44100)
+    pyo = np.concatenate([
+        dec.frame(core[i * 1024:(i + 1) * 1024].astype(np.float64),
+                  chans[i % 3])
+        for i in range(len(core) // 1024)])
+    n = min(len(pyo), len(got))
+    err = got[:n].astype(np.float64) - pyo[:n]
+    p = float((pyo[:n] ** 2).mean())
+    exact = 10 * np.log10(p / max(float((err ** 2).mean()), 1e-30))
+    assert exact > 120, exact
+
+
+def test_native_heaac_coupled_cpe(ext, orc):
+    """Stereo CPE with bs_coupling: channel 0 carries energies,
+    channel 1 balance values — validates the coupled dequantization
+    (pan offsets, doubled balance, +7/+1 exponents) per channel
+    against the oracle."""
+    import sbr_bitstream as sb
+
+    hdr = sb.SbrHeader(amp_res=1, start_freq=5, stop_freq=5,
+                       xover_band=0)
+    ft = hdr.tables(44100)
+    c0 = _flat_chan(ft)
+    c1 = sb.SbrChannel(num_env=1, freq_res=[0], df_env=[0],
+                       df_noise=[0], invf=[2] * ft.n_q,
+                       env_sf=[[10 + (j % 5)
+                                for j in range(ft.n_low)]],
+                       noise_sf=[[12] * ft.n_q])
+    he, _ = _mint_he(hdr, [c0, c1], coupling=True)
+    ref, sr = orc.decode_bytes(he, suffix=".aac")
+    got, sr2 = ext.aac_decode(he)
+    got = np.asarray(got)
+    assert sr == sr2 == 44100 and got.shape[1] == 2
+    for c in range(2):
+        snr = _aligned_snr(ref[:, c].astype(np.float64),
+                           got[:, c].astype(np.float64), max_lag=64)
+        assert snr > 60, (c, snr)
+
+
+def _boxes_m4a(samples, asc):
+    """Minimal ISO-BMFF wrapper: one audio track, explicit sample
+    sizes, one chunk, mdat appended last (stco patched)."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    esds = box(b"esds", b"\x00\x00\x00\x00"
+               + b"\x03\x19\x00\x00\x00"
+               + b"\x04\x11\x40\x15\x00\x00\x00\x00\x00\x00\x00"
+               + b"\x00\x00\x00\x00"
+               + bytes([0x05, len(asc)]) + asc)
+    mp4a = box(b"mp4a", b"\x00" * 28 + esds)
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + mp4a)
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, len(samples))
+               + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1)
+               + struct.pack(">III", 1, len(samples), 1))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x00\x00")
+
+    def build(stco_off):
+        stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", 1)
+                   + struct.pack(">I", stco_off))
+        stbl = box(b"stbl", stsd + stsz + stsc + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", trak)
+        return ftyp + moov
+
+    head = build(0)
+    mdat_payload = b"".join(samples)
+    off = len(head) + 8            # first sample offset inside mdat
+    head = build(off)
+    return head + box(b"mdat", mdat_payload)
+
+
+def test_native_heaac_m4a_explicit(ext, orc):
+    """Explicitly-signaled HE-AAC in an .m4a container (ASC aot=5 with
+    extensionSamplingFrequencyIndex): same frames as the ADTS stream
+    must decode identically, at the doubled rate."""
+    import sbr_bitstream as sb
+    from aac_bitstream import BitWriter
+
+    hdr = sb.SbrHeader(amp_res=1, start_freq=5, stop_freq=5,
+                       xover_band=0)
+    ft = hdr.tables(44100)
+    he, _ = _mint_he(hdr, [_flat_chan(ft)])
+    # split the ADTS stream back into raw blocks (7-byte headers,
+    # protection_absent=1)
+    samples = []
+    pos = 0
+    while pos + 7 <= len(he):
+        flen = ((he[pos + 3] & 0x03) << 11) | (he[pos + 4] << 3) \
+               | (he[pos + 5] >> 5)
+        samples.append(he[pos + 7:pos + flen])
+        pos += flen
+    # ASC: aot 5, core sfi 7 (22050), 1 ch, ext sfi 4 (44100), aot 2
+    w = BitWriter()
+    w.put(5, 5)
+    w.put(7, 4)
+    w.put(1, 4)
+    w.put(4, 4)
+    w.put(2, 5)
+    w.put(0, 3)     # frameLength / dependsOnCoreCoder / extensionFlag
+    asc = w.tobytes()
+    m4a = _boxes_m4a(samples, asc)
+    got_adts, sr_a = ext.aac_decode(he)
+    got_m4a, sr_m = ext.aac_decode(m4a)
+    assert sr_a == sr_m == 44100
+    a = np.asarray(got_adts)[:, 0]
+    m = np.asarray(got_m4a)[:, 0]
+    assert len(a) == len(m)
+    assert np.allclose(a, m, atol=1e-7)
+
+
+def test_native_sbr_mid_stream_rejected(ext):
+    """SBR data first appearing after LC frames were already emitted
+    must raise (output rate would change mid-stream) so the Python
+    layer can fall back to ffmpeg."""
+    import sbr_bitstream as sb
+    import sbr_parse as sp
+    from aac_bitstream import adts_frame
+
+    books = sp.Books()
+    rng = np.random.default_rng(3)
+    hdr = sb.SbrHeader(amp_res=1, start_freq=5, stop_freq=5,
+                       xover_band=0)
+    ft = hdr.tables(44100)
+    ch = _flat_chan(ft)
+    frames = [adts_frame([_mk_sce(rng)], sr=22050) for _ in range(4)]
+    huff = books.writer_huff(ch.amp_res_used(hdr.amp_res))
+    d = sb.SbrData(header=hdr, channels=[ch], fs_sbr=44100, huff=huff)
+    frames.append(adts_frame([_mk_sce(rng), sb.sbr_fil(d)], sr=22050))
+    with pytest.raises(ValueError, match="mid-stream"):
+        ext.aac_decode(b"".join(frames))

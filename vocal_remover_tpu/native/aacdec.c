@@ -1,4 +1,4 @@
-/* aacdec.c — AAC-LC decoder with ADTS and MP4/M4A demuxing.
+/* aacdec.c — AAC-LC + HE-AAC decoder with ADTS and MP4/M4A demuxing.
  *
  * Closes the reference's .m4a/.mp4/.aac ingest path (the reference
  * decodes these through librosa -> audioread -> ffmpeg; reference
@@ -8,6 +8,10 @@
  * sequences with sine and Kaiser-Bessel-derived shapes, pulse, TNS,
  * PNS, M/S and intensity stereo. MPEG-2 AAC-LC (13818-7) ADTS streams
  * decode through the same path (the LC syntax is identical).
+ * HE-AAC (SBR) reconstructs the full band via sbrdec.c — implicit
+ * ADTS signaling (SBR fill elements) and explicit aot-5 ASCs both
+ * supported; HE-AAC v2 parametric stereo is not (clear error, the
+ * Python layer falls back to ffmpeg when present).
  *
  * Huffman code tables and scalefactor-band offset tables are
  * ORACLE-EXTRACTED: every codeword was individually confirmed against
@@ -27,6 +31,8 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+
+#include "sbrdec.h"
 
 /* ------------------------------------------------------------------ */
 /* bit reader                                                          */
@@ -862,13 +868,24 @@ typedef struct {
     ChanState cs[MAX_CH];
     int channels;
     int sr_index;
+    /* HE-AAC: one SBR element per audio syntactic element (SCE/CPE).
+     * sbr_mode latches on the first successfully parsed SBR payload
+     * (implicit ADTS signaling) or from an explicit aot-5 ASC; once
+     * on, every frame emits 2048 samples at twice the core rate
+     * (frames without SBR data upsample through the plain QMF). */
+    SbrElem sbr[2];
+    int sbr_mode;
 } Decoder;
 
-static int decode_raw_block(Decoder *dec, Bits *b, float *out /*1024*MAX_CH*/,
-                            int *out_ch) {
+static int decode_raw_block(Decoder *dec, Bits *b,
+                            float *out /*2048*MAX_CH*/, int *out_ch,
+                            int *out_samples) {
     const SwbTab *swb = &SWB[dec->sr_index];
     static ICS icsL, icsR;  /* large; single-threaded under the GIL */
+    static float core[1024 * MAX_CH];
     int ch = 0;
+    /* audio syntactic elements of this block (for SBR association) */
+    int elem_ch0[2], elem_nch[2], elem_sbr_ok[2], n_elems = 0;
     for (;;) {
         int id = (int)bits_get(b, 3);
         if (b->error) return -1;
@@ -880,7 +897,13 @@ static int decode_raw_block(Decoder *dec, Bits *b, float *out /*1024*MAX_CH*/,
             if (ch >= MAX_CH) return -1;
             apply_pns(&icsL, swb, &dec->cs[ch].rng);
             apply_tns(&icsL, swb, dec->sr_index);
-            filterbank(&icsL, &dec->cs[ch], out + 1024 * ch);
+            filterbank(&icsL, &dec->cs[ch], core + 1024 * ch);
+            if (n_elems < 2) {
+                elem_ch0[n_elems] = ch;
+                elem_nch[n_elems] = 1;
+                elem_sbr_ok[n_elems] = (id == 0);  /* no SBR on LFE */
+                n_elems++;
+            }
             ch++;
         } else if (id == 1) {             /* CPE */
             bits_get(b, 4);
@@ -913,8 +936,14 @@ static int decode_raw_block(Decoder *dec, Bits *b, float *out /*1024*MAX_CH*/,
             apply_stereo(&icsL, &icsR, swb, ms_present, ms_used);
             apply_tns(&icsL, swb, dec->sr_index);
             apply_tns(&icsR, swb, dec->sr_index);
-            filterbank(&icsL, &dec->cs[ch], out + 1024 * ch);
-            filterbank(&icsR, &dec->cs[ch + 1], out + 1024 * (ch + 1));
+            filterbank(&icsL, &dec->cs[ch], core + 1024 * ch);
+            filterbank(&icsR, &dec->cs[ch + 1], core + 1024 * (ch + 1));
+            if (n_elems < 2) {
+                elem_ch0[n_elems] = ch;
+                elem_nch[n_elems] = 2;
+                elem_sbr_ok[n_elems] = 1;
+                n_elems++;
+            }
             ch += 2;
         } else if (id == 4) {             /* DSE */
             bits_get(b, 4);
@@ -927,19 +956,48 @@ static int decode_raw_block(Decoder *dec, Bits *b, float *out /*1024*MAX_CH*/,
             int cnt = (int)bits_get(b, 4);
             if (cnt == 15) cnt += (int)bits_get(b, 8) - 1;
             if (cnt > 0) {
-                /* extension_payload type: 0x0D/0x0E = SBR — this is
-                 * an HE-AAC stream whose high band we cannot
-                 * reconstruct; error (the Python layer falls back to
-                 * ffmpeg) instead of returning lowpassed LC core */
+                size_t fil_start = b->pos;      /* first payload bit */
                 int ext = (int)bits_get(b, 4);
-                if (ext == 0x0D || ext == 0x0E) return -3;
-                for (int i = 0; i < cnt - 1; i++) bits_get(b, 8);
-                bits_get(b, 4);
+                if ((ext == 0x0D || ext == 0x0E) && n_elems > 0
+                    && elem_sbr_ok[n_elems - 1]) {
+                    /* sbr_extension_data for the preceding element */
+                    int ei = n_elems - 1;
+                    size_t avail = fil_start + 8 * (size_t)cnt;
+                    if (avail > b->len * 8) return -1;
+                    sbr_elem_init(&dec->sbr[ei],
+                                  SR_TAB[dec->sr_index]);
+                    if (sbr_parse_payload(
+                            &dec->sbr[ei], b->p, b->pos,
+                            avail - b->pos, elem_nch[ei] == 2,
+                            ext == 0x0E))
+                        return -1;
+                    dec->sbr_mode = 1;
+                    b->pos = avail;             /* FIL consumes cnt B */
+                } else {
+                    for (int i = 0; i < cnt - 1; i++) bits_get(b, 8);
+                    bits_get(b, 4);
+                }
             }
         } else {
             return -1;                    /* CCE / PCE unsupported */
         }
         if (b->error) return -1;
+    }
+    if (dec->sbr_mode) {
+        for (int ei = 0; ei < n_elems; ei++) {
+            int c0 = elem_ch0[ei], nch = elem_nch[ei];
+            sbr_elem_init(&dec->sbr[ei], SR_TAB[dec->sr_index]);
+            sbr_process(&dec->sbr[ei], nch, core + 1024 * c0,
+                        nch == 2 ? core + 1024 * (c0 + 1) : NULL,
+                        out + 2048 * c0,
+                        nch == 2 ? out + 2048 * (c0 + 1) : NULL);
+        }
+        *out_samples = 2048;
+    } else {
+        for (int c = 0; c < ch; c++)
+            memcpy(out + 2048 * c, core + 1024 * c,
+                   1024 * sizeof(float));
+        *out_samples = 1024;
     }
     *out_ch = ch;
     return 0;
@@ -1000,6 +1058,7 @@ static PyObject *decode_adts(const uint8_t *data, Py_ssize_t len) {
     long long cap = 0, n = 0;
     int out_channels = 0;
     int nframes = 0;
+    int frame_samples = 0;
     while (pos + 7 <= (size_t)len) {
         /* resync */
         if (data[pos] != 0xFF || (data[pos + 1] & 0xF6) != 0xF0) {
@@ -1038,32 +1097,35 @@ static PyObject *decode_adts(const uint8_t *data, Py_ssize_t len) {
         bits_init(&rb, data + pos + hdr_bytes,
                   (size_t)frame_len - hdr_bytes);
         for (int blk = 0; blk < nblocks; blk++) {
-            float out[1024 * MAX_CH];
-            int ch = 0;
-            int brc = decode_raw_block(&dec, &rb, out, &ch);
-            if (brc == -3) {
+            static float out[2048 * MAX_CH];
+            int ch = 0, samples = 0;
+            int brc = decode_raw_block(&dec, &rb, out, &ch, &samples);
+            if (brc != 0 || ch <= 0) break;
+            if (frame_samples && samples != frame_samples) {
+                /* SBR appearing mid-stream would double the output
+                 * rate after samples were already committed */
                 snprintf(err, 128,
-                         "HE-AAC (SBR) stream: only the LC core is "
-                         "supported natively — decode via ffmpeg");
+                         "HE-AAC (SBR) data appeared mid-stream — "
+                         "decode via ffmpeg");
                 goto fail;
             }
-            if (brc != 0 || ch <= 0) break;
+            frame_samples = samples;
             /* accepted: commit this frame's config */
             cfg = hcfg;
             if (!out_channels) out_channels = ch;
             if (ch != out_channels) break;
-            if ((n + 1024) > cap) {
-                cap = (n + 1024) * 2 + 8192;
+            if ((n + samples) > cap) {
+                cap = (n + samples) * 2 + 8192;
                 float *np_ = realloc(
                     pcm, (size_t)cap * out_channels * sizeof(float));
                 if (!np_) { snprintf(err, 128, "oom"); goto fail; }
                 pcm = np_;
             }
-            for (int s = 0; s < 1024; s++)
+            for (int s = 0; s < samples; s++)
                 for (int c = 0; c < out_channels; c++)
                     pcm[(n + s) * out_channels + c] =
-                        out[1024 * c + s];
-            n += 1024;
+                        out[2048 * c + s];
+            n += samples;
             nframes++;
             bits_align(&rb);   /* raw_data_blocks are byte-aligned */
         }
@@ -1078,8 +1140,9 @@ static PyObject *decode_adts(const uint8_t *data, Py_ssize_t len) {
         (const char *)pcm, (Py_ssize_t)(n * out_channels * sizeof(float)));
     free(pcm);
     if (!bytes) return NULL;
-    PyObject *r = Py_BuildValue("(Nlii)", bytes, (long)n, out_channels,
-                                cfg.sample_rate);
+    PyObject *r = Py_BuildValue(
+        "(Nlii)", bytes, (long)n, out_channels,
+        dec.sbr_mode ? cfg.sample_rate * 2 : cfg.sample_rate);
     return r;
 fail:
     free(pcm);
@@ -1288,9 +1351,10 @@ static void parse_stbl(const uint8_t *p, size_t len, Mp4Track *tr) {
 }
 
 static int parse_asc(const uint8_t *p, size_t len, AacConfig *cfg,
-                     char err[128]) {
+                     int *sbr_explicit, char err[128]) {
     Bits b;
     bits_init(&b, p, len);
+    *sbr_explicit = 0;
     int aot = (int)bits_get(&b, 5);
     if (aot == 31) aot = 32 + (int)bits_get(&b, 6);
     int sfi = (int)bits_get(&b, 4);
@@ -1307,9 +1371,28 @@ static int parse_asc(const uint8_t *p, size_t len, AacConfig *cfg,
         rate = SR_TAB[sfi];
     }
     int chan = (int)bits_get(&b, 4);
+    if (aot == 5) {
+        /* explicit hierarchical HE-AAC signaling: the first sfi is
+         * the core rate, extensionSamplingFrequencyIndex the SBR
+         * output rate, then the core object type follows */
+        *sbr_explicit = 1;
+        int ext_sfi = (int)bits_get(&b, 4);
+        if (ext_sfi == 15) {
+            bits_get(&b, 24);
+            snprintf(err, 128, "explicit SBR sample rate unsupported");
+            return -1;
+        }
+        if (ext_sfi > 12 || SR_TAB[ext_sfi] != 2 * rate) {
+            snprintf(err, 128,
+                     "SBR output rate is not twice the core rate");
+            return -1;
+        }
+        aot = (int)bits_get(&b, 5);
+        if (aot == 31) aot = 32 + (int)bits_get(&b, 6);
+    }
     if (aot != 2) {
-        snprintf(err, 128, "AAC object type %d unsupported (LC only)",
-                 aot);
+        snprintf(err, 128, "AAC object type %d unsupported "
+                 "(LC / HE-AAC only)", aot);
         return -1;
     }
     if (bits_get1(&b)) {                 /* frameLengthFlag: 960 */
@@ -1339,7 +1422,8 @@ static PyObject *decode_mp4(const uint8_t *data, Py_ssize_t len) {
         return NULL;
     }
     AacConfig cfg = {0};
-    if (parse_asc(tr.asc, tr.asc_len, &cfg, err)) {
+    int sbr_explicit = 0;
+    if (parse_asc(tr.asc, tr.asc_len, &cfg, &sbr_explicit, err)) {
         PyErr_SetString(PyExc_ValueError, err);
         return NULL;
     }
@@ -1351,10 +1435,12 @@ static PyObject *decode_mp4(const uint8_t *data, Py_ssize_t len) {
     memset(&dec, 0, sizeof(dec));
     for (int c = 0; c < MAX_CH; c++) dec.cs[c].rng = 0x1f2e3d4cu ^ c;
     dec.sr_index = cfg.sr_index;
+    dec.sbr_mode = sbr_explicit;
 
     float *pcm = NULL;
     long long cap = 0, n = 0;
     int out_channels = 0;
+    int frame_samples = 0;
     uint32_t sample = 0;
     /* iterate chunks via stsc runs */
     for (uint32_t ci = 0; ci < tr.stco_n && sample < tr.sample_count;
@@ -1380,31 +1466,32 @@ static PyObject *decode_mp4(const uint8_t *data, Py_ssize_t len) {
             }
             Bits b;
             bits_init(&b, data + off, ssz);
-            float out[1024 * MAX_CH];
-            int ch = 0;
-            int brc = decode_raw_block(&dec, &b, out, &ch);
-            if (brc == -3) {
-                snprintf(err, 128,
-                         "HE-AAC (SBR) stream: only the LC core is "
-                         "supported natively — decode via ffmpeg");
-                goto fail;
-            }
+            static float out[2048 * MAX_CH];
+            int ch = 0, samples = 0;
+            int brc = decode_raw_block(&dec, &b, out, &ch, &samples);
             if (brc == 0 && ch > 0) {
+                if (frame_samples && samples != frame_samples) {
+                    snprintf(err, 128,
+                             "HE-AAC (SBR) data appeared mid-stream — "
+                             "decode via ffmpeg");
+                    goto fail;
+                }
+                frame_samples = samples;
                 if (!out_channels) out_channels = ch;
                 if (ch == out_channels) {
-                    if (n + 1024 > cap) {
-                        cap = (n + 1024) * 2 + 8192;
+                    if (n + samples > cap) {
+                        cap = (n + samples) * 2 + 8192;
                         float *np_ = realloc(
                             pcm,
                             (size_t)cap * out_channels * sizeof(float));
                         if (!np_) { snprintf(err, 128, "oom"); goto fail; }
                         pcm = np_;
                     }
-                    for (int t = 0; t < 1024; t++)
+                    for (int t = 0; t < samples; t++)
                         for (int c = 0; c < out_channels; c++)
                             pcm[(n + t) * out_channels + c] =
-                                out[1024 * c + t];
-                    n += 1024;
+                                out[2048 * c + t];
+                    n += samples;
                 }
             } else {
                 snprintf(err, 128, "AAC frame %u failed to decode",
@@ -1423,8 +1510,12 @@ static PyObject *decode_mp4(const uint8_t *data, Py_ssize_t len) {
             (Py_ssize_t)((n - skip) * out_channels * sizeof(float)));
         free(pcm);
         if (!bytes) return NULL;
+        /* for HE-AAC tracks the mvhd/mdhd timescale (and so the elst
+         * media_time) is the SBR output rate, matching our doubled n */
         return Py_BuildValue("(Nlii)", bytes, (long)(n - skip),
-                             out_channels, cfg.sample_rate);
+                             out_channels,
+                             dec.sbr_mode ? cfg.sample_rate * 2
+                                          : cfg.sample_rate);
     }
 fail:
     free(pcm);

@@ -18,6 +18,11 @@ SRCS = [
     os.path.join(HERE, "flacdec.c"),
     os.path.join(HERE, "mp3dec.c"),
     os.path.join(HERE, "aacdec.c"),
+    os.path.join(HERE, "sbrdec.c"),
+]
+HDRS = [
+    os.path.join(HERE, "sbrdec.h"),
+    os.path.join(HERE, "sbr_tables.h"),
 ]
 SRC = SRCS[0]  # mtime anchor (back-compat name)
 SO = os.path.join(
@@ -47,7 +52,7 @@ def build(verbose: bool = False) -> str | None:
 
 def ensure_built() -> bool:
     if os.path.exists(SO) and all(
-        os.path.getmtime(SO) >= os.path.getmtime(s) for s in SRCS
+        os.path.getmtime(SO) >= os.path.getmtime(s) for s in SRCS + HDRS
     ):
         return True
     return build() is not None

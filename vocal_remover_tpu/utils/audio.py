@@ -8,11 +8,12 @@ library exists in this environment, so this module implements:
   * WAV decode (PCM 8/16/24/32, float32/float64) via scipy.io.wavfile
     plus a manual 24-bit path.
   * Native decoders for FLAC (native/flacdec.c), MP3 (native/mp3dec.c),
-    and AAC-LC in .m4a/.mp4/.aac containers (native/aacdec.c) — the
-    reference's full ingest extension list (lib/dataset.py:147) without
-    an external backend. An optional `ffmpeg` subprocess remains as the
-    fallback for anything else (e.g. HE-AAC), gated with a clear error
-    when unavailable.
+    and AAC-LC + HE-AAC (SBR, native/aacdec.c + sbrdec.c) in
+    .m4a/.mp4/.aac containers — the reference's full ingest extension
+    list (lib/dataset.py:147) without an external backend. An optional
+    `ffmpeg` subprocess remains as the fallback for anything else
+    (e.g. Vorbis, HE-AAC v2 parametric stereo), gated with a clear
+    error when unavailable.
   * Band-limited sinc resampling matching librosa's `kaiser_fast`
     algorithm (utils/resample.py — the reference's res_type,
     inference.py:138); scipy polyphase kept as `res_type='polyphase'`.
@@ -171,8 +172,9 @@ def read_mp3(path: str) -> tuple[np.ndarray, int]:
 def read_aac(path: str) -> tuple[np.ndarray, int]:
     """Read an AAC file (.m4a/.mp4 container or raw .aac ADTS) via the
     native decoder (native/aacdec.c) -> ((C, L) float32, sample_rate).
-    AAC-LC only (the overwhelmingly common profile); HE-AAC and other
-    object types raise and fall back to ffmpeg when present."""
+    AAC-LC and HE-AAC (SBR — implicit ADTS or explicit aot-5
+    signaling, native/sbrdec.c); HE-AAC v2 (parametric stereo) and
+    other object types raise and fall back to ffmpeg when present."""
     from vocal_remover_tpu import native
 
     with open(path, "rb") as f:
