@@ -71,6 +71,50 @@ N_SONGS = 12
 N_DEVICE_RUNS = 8
 
 
+def _regression_guard(current, prev_json=None, tolerance=0.03):
+    """Compare device-side metrics against the newest committed
+    BENCH_r{N}.json; return loud warning strings for any metric that
+    dropped more than `tolerance` (default 3%) — so a code regression
+    cannot hide behind the link-normalized composite (VERDICT r04 #8).
+
+    prev_json: explicit baseline dict for tests; otherwise the highest
+    numbered BENCH_r*.json next to this file is loaded (its device
+    metrics live either at top level or under "parsed")."""
+    import glob
+    import os
+    import re
+
+    if prev_json is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = glob.glob(os.path.join(here, "BENCH_r*.json"))
+        best, best_n = None, -1
+        for c in cands:
+            m = re.search(r"BENCH_r(\d+)\.json$", c)
+            if m and int(m.group(1)) > best_n:
+                best, best_n = c, int(m.group(1))
+        if best is None:
+            return []
+        try:
+            with open(best) as f:
+                prev_json = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return []
+        if "parsed" in prev_json:
+            prev_json = prev_json["parsed"]
+    out = []
+    for key, cur in current.items():
+        prev = prev_json.get(key)
+        if not prev or not cur:
+            continue
+        if cur < prev * (1.0 - tolerance):
+            out.append(
+                f"[bench] REGRESSION GUARD: {key} dropped "
+                f"{100 * (1 - cur / prev):.1f}% vs previous round "
+                f"({cur:.2f} < {prev:.2f})"
+            )
+    return out
+
+
 def _measure_reference_cpu(song):
     """Re-measure the reference implementation (torch CPU, 1 thread) on
     this host — guards against the stored 0.83 constant going stale."""
@@ -456,6 +500,19 @@ def main(argv=None):
     composite_xrt = SECONDS / max(
         up_bytes / L, SECONDS / best_device_xrt, down_bytes / L
     )
+
+    # ---- regression guard (VERDICT r04 #8) ------------------------------
+    # device-side metrics must not silently drop behind the composite:
+    # compare against the newest committed BENCH_r{N}.json and flag any
+    # >3% device-side regression on stderr.
+    guard_warnings = _regression_guard({
+        "device_only_xrt": device_only_xrt,
+        "wide_crop_device_xrt": wide_crop_device_xrt,
+        "group_wide_device_xrt": group_wide_device_xrt,
+        "mfu_pct": mfu_pct,
+    })
+    for w in guard_warnings:
+        print(w, file=sys.stderr)
 
     baseline = REFERENCE_CPU_XRT
     baseline_measured = False
