@@ -67,8 +67,9 @@ def build_parser():
                         'serving mode (folded BatchNorm, bf16-resident '
                         'weights and activations; masks differ from f32 '
                         'at ~1e-4; directory-mode default); int8 = '
-                        'quantized serving (per-channel int8 conv '
-                        'weights, dynamic activation quant on the MXU)')
+                        'EXPERIMENTAL quantized serving (per-channel '
+                        'int8 conv weights; measured SLOWER than '
+                        'bfloat16 on this model — see BENCH_NOTES)')
     p.add_argument('--lstm_impl', type=str, default='scan',
                    choices=['scan', 'pallas'],
                    help='pallas = fused TPU recurrence kernel')
