@@ -108,6 +108,10 @@ def main(argv=None):
     p.add_argument("--workdir", type=str, default="/tmp/vrt_quality")
     p.add_argument("--out", type=str, default=os.path.join(REPO, "QUALITY_r03.json"))
     p.add_argument("--batchsize", type=int, default=4)
+    p.add_argument("--extra_flags", type=str, default="",
+                   help="extra train-CLI flags, space-separated (e.g. "
+                        "'--is_complex --wave_loss sdr' or "
+                        "'--precision bfloat16')")
     args = p.parse_args(argv)
 
     from vocal_remover_tpu.utils import audio
@@ -143,6 +147,8 @@ def main(argv=None):
         "--output_dir", out_dir,
         "--seed", "2019",
     ]
+    if args.extra_flags:
+        cmd += args.extra_flags.split()
     print("running:", " ".join(cmd), flush=True)
     t0 = time.time()
     env = dict(os.environ)
