@@ -152,66 +152,58 @@ def _measure_reference_cpu(song):
     return SECONDS / (time.time() - t0)
 
 
-def _bench_train(model, n_steps=8):
-    """RTT-amortized training benchmark: N fused Adam update steps
-    (L1 mask loss, bf16 activations) scanned inside ONE dispatch over
-    device-resident batches, params/opt-state threaded through the scan
-    carry. Returns (step_ms, samples_per_sec, train_mfu_pct,
+def _bench_train(model, n_lo=4, n_hi=24):
+    """Training benchmark on the REAL per-dispatch `train_epoch` path:
+    sequential dependent `Trainer._fused` dispatches (L1 mask loss,
+    dropout on, donated device-resident buffers), timed as the slope
+    between an n_lo-step and an n_hi-step run so the tunnel RTT,
+    transfer warmup, and the final block cancel. (The previous scan-
+    chained single-dispatch variant measured 7x slower than the real
+    path: XLA pins one layout across the while-loop body and re-lays
+    the tall activations out every iteration — the dominant `copy`
+    class in the r03 step profile. No user path runs the step inside a
+    scan.) Returns (step_ms, samples_per_sec, train_mfu_pct,
     train_flops_per_step). Reference step semantics: train.py:68-105.
     """
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from vocal_remover_tpu.train.step import Trainer
 
-    variables = model.init(jax.random.PRNGKey(0))
-    tr = Trainer(model, variables, learning_rate=1e-3, dropout=True)
-
     B, F, T = 4, model.output_bin, 256  # reference training defaults
     rng = np.random.default_rng(1)
-    Xs = np.abs(rng.standard_normal((n_steps, B, 2, F, T)))
-    ys = Xs * rng.uniform(0, 1, Xs.shape)
-    Xd = jax.device_put(jnp.asarray(Xs, jnp.bfloat16))
-    yd = jax.device_put(jnp.asarray(ys, jnp.bfloat16))
-    rngs = jax.random.split(jax.random.PRNGKey(1), n_steps)
+    X = np.abs(rng.standard_normal((B, 2, F, T))).astype(np.float32)
+    y = (X * rng.uniform(0, 1, X.shape)).astype(np.float32)
+    key = jax.random.PRNGKey(1)
 
-    @jax.jit
-    def multi(params, stats, opt_state, Xb, yb, rb):
-        def step(carry, xyr):
-            p, s, o = carry
-            X, y, r = xyr
-            loss, p, s, o = tr._fused_fn(p, s, o, X, y, r)
-            return (p, s, o), loss
-        _, losses_ = lax.scan(step, (params, stats, opt_state),
-                              (Xb, yb, rb))
-        return losses_
+    def run(n_steps, tr):
+        Xd, yd = tr._put_batch(X, y)
+        loss = None
+        for _ in range(n_steps):
+            loss, tr.params, tr.stats, tr.opt_state = tr._fused(
+                tr.params, tr.stats, tr.opt_state, Xd, yd, key)
+        jnp.asarray(loss).block_until_ready()
 
-    args_dev = (tr.params, tr.stats, tr.opt_state, Xd, yd, rngs)
-    np.asarray(multi(*args_dev))  # compile + warm
-    tiny = jax.jit(lambda w: w[0, 0, :1, :1, :1].astype(jnp.float32))
-    np.asarray(tiny(Xd))
+    def timed(n_steps):
+        variables = model.init(jax.random.PRNGKey(0))
+        tr = Trainer(model, variables, learning_rate=1e-3, dropout=True)
+        run(3, tr)  # compile + warm
+        t0 = time.time()
+        run(n_steps, tr)
+        return time.time() - t0, tr
 
-    def med(f, reps=3):
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            f()
-            ts.append(time.time() - t0)
-        return sorted(ts)[reps // 2]
-
-    rtt = med(lambda: np.asarray(tiny(Xd)))
-    t = med(lambda: np.asarray(multi(*args_dev)))
-    step_s = max(t - rtt, 1e-9) / n_steps
+    t_lo, _ = timed(n_lo)
+    t_hi, tr = timed(n_hi)
+    step_s = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
     flops_per_step = None
     mfu = None
     try:
-        comp = multi.lower(*args_dev).compile()
+        Xd, yd = tr._put_batch(X, y)
+        comp = jax.jit(tr._fused_fn).lower(
+            tr.params, tr.stats, tr.opt_state, Xd, yd, key).compile()
         cost = comp.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        # XLA counts the scan (while-loop) body ONCE, so this is ~one
-        # step's FLOPs (see BENCH_NOTES.md corrected FLOP accounting)
         flops_per_step = float(cost["flops"])
         mfu = round(
             100.0 * flops_per_step / step_s / V5E_BF16_PEAK_FLOPS, 2

@@ -51,9 +51,13 @@ def measure(precision, remat, B, T, steps, warmup, wave_loss=None):
     rng = np.random.default_rng(0)
     F = model.output_bin
     if wave_loss:
-        X = (rng.standard_normal((B, 2, F, T))
-             + 1j * rng.standard_normal((B, 2, F, T))).astype(np.complex64)
-        y = (X * rng.uniform(0, 1, X.shape)).astype(np.complex64)
+        # complex batches travel as stacked re/im channels (N, 4, F, T)
+        # like data/dataset.py:183-184 emits them
+        Xc = (rng.standard_normal((B, 2, F, T))
+              + 1j * rng.standard_normal((B, 2, F, T)))
+        yc = Xc * rng.uniform(0, 1, Xc.shape)
+        X = np.concatenate([Xc.real, Xc.imag], 1).astype(np.float32)
+        y = np.concatenate([yc.real, yc.imag], 1).astype(np.float32)
     else:
         X = np.abs(rng.standard_normal((B, 2, F, T))).astype(np.float32)
         y = (X * rng.uniform(0, 1, X.shape)).astype(np.float32)
@@ -126,7 +130,8 @@ def main(argv=None):
             ("bfloat16", True, 16, 256, None),
             ("bfloat16", True, 4, 1024, None),
             ("bfloat16", True, 8, 512, None),
-            ("default", False, 16, 256, None),
+            ("default", False, 16, 256, None),  # OOMs: f32 B=16 needs remat
+            ("default", True, 16, 256, None),
             ("default", False, 4, 256, "sdr"),  # wave-loss step cost
         ]
 

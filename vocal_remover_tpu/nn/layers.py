@@ -160,7 +160,10 @@ class Decoder:
         return {"conv1": self.conv1.init(key)}
 
     def apply(self, v, x, skip=None, *, train=False, rng=None):
-        x = upsample2x(x)
+        # lerp formulation in training (and its backward), interp-
+        # matrix matmuls in the forward-only eval/serving graphs — see
+        # ops/resize.py resize_bilinear for the measured basis
+        x = upsample2x(x, lerp=train)
         if skip is not None:
             skip = _crop_time(skip, x)
             x = jnp.concatenate([x, skip], axis=-1)

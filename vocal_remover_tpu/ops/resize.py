@@ -132,18 +132,35 @@ def _up2x_axis(x, axis: int):
     return y.reshape(out_shape)
 
 
-def resize_bilinear(x, out_h: int, out_w: int):
-    """Resize NHWC `x` to (out_h, out_w) with align_corners=True."""
+def resize_bilinear(x, out_h: int, out_w: int, lerp2x: bool = True):
+    """Resize NHWC `x` to (out_h, out_w) with align_corners=True.
+
+    `lerp2x` selects the exact-2x formulation (both produce the same
+    align_corners grid; measured on 1x v5e, flagship decoder shapes —
+    BENCH_NOTES r05):
+
+      * True (training): phase-split lerp. The interp matmuls were
+        ~45% of the step's FLOPs and triple in backward; dropping them
+        halves the fused train step (23.3 -> 11.9 ms at B=4 crop 256).
+      * False (eval/serving): dense interp-matrix matmul. In the bf16
+        serving forward the lerp's shifted-copy + interleave graphs
+        cost MORE than the matmul FLOPs (65.0 vs 54.8 ms/forward) and
+        their padded temporaries OOM the grouped wide-crop graph, so
+        the forward-only path keeps the MXU form.
+    """
     n, h, w, c = x.shape
     if h != out_h:
-        x = _up2x_axis(x, 1) if out_h == 2 * h else _apply_axis(x, out_h, 1)
+        x = _up2x_axis(x, 1) if lerp2x and out_h == 2 * h \
+            else _apply_axis(x, out_h, 1)
     if w != out_w:
-        x = _up2x_axis(x, 2) if out_w == 2 * w else _apply_axis(x, out_w, 2)
+        x = _up2x_axis(x, 2) if lerp2x and out_w == 2 * w \
+            else _apply_axis(x, out_w, 2)
     return x
 
 
-def upsample2x(x):
+def upsample2x(x, lerp: bool = True):
     """2x bilinear upsample of NHWC `x` (align_corners=True),
-    equivalent to torch F.interpolate(scale_factor=2)."""
+    equivalent to torch F.interpolate(scale_factor=2). `lerp` as in
+    resize_bilinear(lerp2x=...)."""
     n, h, w, c = x.shape
-    return resize_bilinear(x, 2 * h, 2 * w)
+    return resize_bilinear(x, 2 * h, 2 * w, lerp2x=lerp)
