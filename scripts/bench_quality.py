@@ -143,12 +143,15 @@ def main(argv=None):
         "--epoch", str(args.epochs),
         "--batchsize", str(args.batchsize),
         "--val_rate", "0.25",
-        "--device_data_cache",
         "--output_dir", out_dir,
         "--seed", "2019",
     ]
     if args.extra_flags:
         cmd += args.extra_flags.split()
+    if "--is_complex" not in cmd:
+        # device-resident corpus holds magnitudes — complex-mask
+        # training must stage host batches (data/device_cache.py:117)
+        cmd.insert(cmd.index("--output_dir"), "--device_data_cache")
     print("running:", " ".join(cmd), flush=True)
     t0 = time.time()
     env = dict(os.environ)
