@@ -55,6 +55,7 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -152,65 +153,42 @@ def _measure_reference_cpu(song):
     return SECONDS / (time.time() - t0)
 
 
-def _bench_train(model, n_lo=4, n_hi=24):
+def _bench_train(precision="default"):
     """Training benchmark on the REAL per-dispatch `train_epoch` path:
     sequential dependent `Trainer._fused` dispatches (L1 mask loss,
-    dropout on, donated device-resident buffers), timed as the slope
-    between an n_lo-step and an n_hi-step run so the tunnel RTT,
-    transfer warmup, and the final block cancel. (The previous scan-
-    chained single-dispatch variant measured 7x slower than the real
-    path: XLA pins one layout across the while-loop body and re-lays
-    the tall activations out every iteration — the dominant `copy`
-    class in the r03 step profile. No user path runs the step inside a
-    scan.) Returns (step_ms, samples_per_sec, train_mfu_pct,
+    dropout on, device-resident batch), timed as a step-count slope in
+    a FRESH SUBPROCESS (scripts/train_step_timing_probe.py). Two
+    discarded methodologies, both measurement artifacts
+    (TRAIN_TIMING_PROBE_r05.json: 17.0 ms real vs 473 ms scanned):
+
+      * scan-chained multi-step single dispatch (r03/r04 bench): XLA
+        pins one layout across the while-loop body and re-lays the
+        tall small-C activations out every iteration — no user path
+        runs the update inside a scan;
+      * in-process after the serving sections: the resident serving
+        buffers/executables distort the train step ~10x on this
+        runtime (181 ms in-process vs 17 ms standalone, same day).
+
+    Returns (step_ms, samples_per_sec, train_mfu_pct,
     train_flops_per_step). Reference step semantics: train.py:68-105.
     """
-    import jax
-    import jax.numpy as jnp
+    import subprocess
+    import tempfile
 
-    from vocal_remover_tpu.train.step import Trainer
-
-    B, F, T = 4, model.output_bin, 256  # reference training defaults
-    rng = np.random.default_rng(1)
-    X = np.abs(rng.standard_normal((B, 2, F, T))).astype(np.float32)
-    y = (X * rng.uniform(0, 1, X.shape)).astype(np.float32)
-    key = jax.random.PRNGKey(1)
-
-    def run(n_steps, tr):
-        Xd, yd = tr._put_batch(X, y)
-        loss = None
-        for _ in range(n_steps):
-            loss, tr.params, tr.stats, tr.opt_state = tr._fused(
-                tr.params, tr.stats, tr.opt_state, Xd, yd, key)
-        jnp.asarray(loss).block_until_ready()
-
-    def timed(n_steps):
-        variables = model.init(jax.random.PRNGKey(0))
-        tr = Trainer(model, variables, learning_rate=1e-3, dropout=True)
-        run(3, tr)  # compile + warm
-        t0 = time.time()
-        run(n_steps, tr)
-        return time.time() - t0, tr
-
-    t_lo, _ = timed(n_lo)
-    t_hi, tr = timed(n_hi)
-    step_s = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
-
-    flops_per_step = None
-    mfu = None
-    try:
-        Xd, yd = tr._put_batch(X, y)
-        comp = jax.jit(tr._fused_fn).lower(
-            tr.params, tr.stats, tr.opt_state, Xd, yd, key).compile()
-        cost = comp.cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops_per_step = float(cost["flops"])
-        mfu = round(
-            100.0 * flops_per_step / step_s / V5E_BF16_PEAK_FLOPS, 2
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "train_step_timing_probe.py")
+    with tempfile.NamedTemporaryFile(suffix=".json") as f:
+        subprocess.run(
+            [sys.executable, probe, "--skip_scan", "--json", f.name,
+             "--precision", precision],
+            check=True, timeout=1500, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
         )
-    except Exception:
-        pass
-    return step_s * 1e3, B / step_s, mfu, flops_per_step
+        with open(f.name) as fh:
+            r = json.load(fh)
+    step_s = r["pipelined_slope_ms"] / 1e3
+    return (r["pipelined_slope_ms"], r["batch"] / step_s,
+            r.get("train_mfu_pct"), r.get("flops_per_step"))
 
 
 def main(argv=None):
@@ -225,6 +203,19 @@ def main(argv=None):
     p.add_argument("--no_train", action="store_true",
                    help="skip the training-step benchmark section")
     args = p.parse_args(argv)
+
+    # ---- training-step benchmark -------------------------------------
+    # FIRST, in a fresh subprocess, before this process attaches the
+    # device: resident serving state distorts the step ~10x (see
+    # _bench_train) and a clean child needs the chip to itself.
+    train_step_ms = train_samples_s = train_mfu_pct = None
+    train_flops_per_step = None
+    if not args.no_train:
+        try:
+            (train_step_ms, train_samples_s, train_mfu_pct,
+             train_flops_per_step) = _bench_train("default")
+        except Exception as e:
+            print(f"[bench] train section failed: {e!r}", file=sys.stderr)
 
     import jax
 
@@ -459,15 +450,8 @@ def main(argv=None):
     except Exception:
         pass
 
-    # ---- training-step benchmark ---------------------------------------
-    train_step_ms = train_samples_s = train_mfu_pct = None
-    train_flops_per_step = None
-    if not args.no_train:
-        try:
-            (train_step_ms, train_samples_s, train_mfu_pct,
-             train_flops_per_step) = _bench_train(model)
-        except Exception as e:
-            print(f"[bench] train section failed: {e!r}", file=sys.stderr)
+    # (training-step benchmark ran first, pre-device-attach — see top
+    # of main)
 
     # ---- link-normalized headline (see module docstring) ---------------
     # The composite is defined on the default serving config (grouped
